@@ -1,0 +1,202 @@
+"""Configuration tree for the reconstruction pipeline.
+
+The reference exposes its knobs as hand-parsed ``argv`` flags (frame range,
+voxel leaf size, pixel stride, display toggles) plus compiled-in SGBM/ORB
+parameters (SURVEY.md §2.1 C1, §5 "Config / flag system"). Here every knob is
+a field on a dataclass tree, loadable from YAML/JSON and overridable from the
+CLI (``apps/reconstruct.py``).
+
+All shape-determining fields are static Python ints so that jitted stage
+functions compile once per configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class StereoConfig:
+    """Rectification + SGM disparity (reference: cv::StereoSGBM params)."""
+
+    height: int = 384
+    width: int = 512
+    max_disparity: int = 64          # D; multiple of 8 (ideally 64/128 for lanes)
+    census_window: Tuple[int, int] = (5, 5)   # census transform window (<=32 bits)
+    p1: float = 8.0                  # SGM small-jump penalty (per census-bit cost)
+    p2: float = 32.0                 # SGM large-jump penalty
+    num_paths: int = 4               # 4 = axis-aligned; 8 adds diagonals
+    uniqueness_ratio: float = 0.95   # WTA second-best must exceed best/ratio
+    lr_max_diff: int = 1             # left-right consistency threshold (px)
+    subpixel: bool = True            # parabola fit around the WTA minimum
+    speckle_window: int = 50         # max blob size to invalidate (0 = off)
+    speckle_range: float = 1.0       # disparity jump that splits a blob
+    invalid_value: float = -1.0      # disparity value marking invalid pixels
+    use_pallas: bool = True          # Pallas scan kernel (else lax.scan fallback)
+    cost_dtype: str = "int32"        # cost-volume accumulation dtype
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """FAST/ORB-style detection + binary description (reference: cv::cuda::ORB)."""
+
+    max_keypoints: int = 512         # static per-frame keypoint capacity
+    fast_threshold: float = 20.0     # FAST-9 intensity threshold (on [0,255])
+    fast_arc: int = 9                # contiguous arc length on the 16-px circle
+    nms_radius: int = 3              # score non-max suppression radius
+    patch_size: int = 31             # orientation / BRIEF sampling patch
+    descriptor_bits: int = 256       # rBRIEF length (packed into uint32 words)
+    border: int = 20                 # keypoint exclusion border (sampling safety)
+    grid_tiles: Tuple[int, int] = (4, 4)  # spatial top-k tiles for even coverage
+    seed: int = 7                    # BRIEF sampling-pattern RNG seed
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching (reference: brute-force Hamming; ours: MXU matmul top-k)."""
+
+    max_hamming: int = 64            # absolute Hamming acceptance threshold
+    ratio: float = 0.9               # Lowe ratio: best < ratio * second-best
+    cross_check: bool = True         # mutual nearest-neighbour consistency
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """3D-3D rigid pose correction (reference: SVD/Umeyama fit with gating)."""
+
+    ransac_iters: int = 128          # fixed-iteration vmapped RANSAC hypotheses
+    ransac_threshold: float = 0.25   # inlier distance (metres)
+    min_inliers: int = 12            # fitness gate: fall back to prior below this
+    min_matches: int = 12            # matches required to attempt correction
+    max_point_depth: float = 80.0    # Z cull for lifted feature points (metres)
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window local bundle adjustment (reference: sparse CPU BA;
+    ours: dense-block Schur complement, distributable over keyframe shards)."""
+
+    window: int = 8                  # keyframe poses in the local window
+    max_landmarks: int = 512         # static landmark capacity per solve
+    max_obs: int = 4096              # static observation capacity per solve
+    gn_iters: int = 5                # damped Gauss-Newton iterations
+    damping: float = 1e-4            # Levenberg-Marquardt lambda
+    huber_delta: float = 0.5         # robust loss width (metres)
+    anchor_first: bool = True        # gauge fix: freeze the first pose in window
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Global map fusion + voxel downsampling (reference: pcl::VoxelGrid)."""
+
+    voxel_size: float = 0.25         # leaf size (metres)
+    map_capacity: int = 2_000_000    # static global voxel-point capacity
+    frame_point_stride: int = 2      # pixel subsample stride ("jump pixels")
+    fuse_every: int = 1              # fuse every k-th frame's cloud
+    downsample_every: int = 8        # re-voxelize the global pool every k frames
+    min_depth: float = 0.5           # Z culling band for backprojected points
+    max_depth: float = 60.0
+    bounds: float = 2048.0           # |x|,|y|,|z| world bound for voxel keys
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Online loop, keyframes, checkpointing, metrics (reference: main loop)."""
+
+    keyframe_translation: float = 1.0    # new keyframe if moved this far (m)
+    keyframe_rotation: float = 0.26      # ... or rotated this much (rad)
+    keyframe_min_gap: int = 1            # min frames between keyframes
+    ba_every_keyframe: bool = True       # run local BA on each new keyframe
+    checkpoint_every: int = 0            # keyframes between snapshots (0 = off)
+    checkpoint_dir: str = "checkpoints"
+    metrics_path: str = ""               # JSONL stage-metrics sink ("" = off)
+    prefetch_depth: int = 2              # host->device double buffering depth
+    profile: bool = False                # jax.profiler trace around stages
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level configuration: one object drives the whole engine."""
+
+    stereo: StereoConfig = field(default_factory=StereoConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    matching: MatchConfig = field(default_factory=MatchConfig)
+    odometry: OdometryConfig = field(default_factory=OdometryConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_SECTIONS = {
+    "stereo": StereoConfig,
+    "features": FeatureConfig,
+    "matching": MatchConfig,
+    "odometry": OdometryConfig,
+    "ba": BAConfig,
+    "mapping": MappingConfig,
+    "runtime": RuntimeConfig,
+}
+
+
+def _coerce(cls, value):
+    """Build a (possibly nested) dataclass from a plain dict, tuple-ifying lists."""
+    if not isinstance(value, dict):
+        return value
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for key, val in value.items():
+        if key not in hints:
+            raise KeyError(f"unknown config key {cls.__name__}.{key}")
+        if isinstance(val, list):
+            val = tuple(val)
+        kwargs[key] = val
+    return cls(**kwargs)
+
+
+def config_from_dict(data: Dict[str, Any]) -> PipelineConfig:
+    sections = {}
+    for name, cls in _SECTIONS.items():
+        if name in data:
+            sections[name] = _coerce(cls, data[name])
+    extra = set(data) - set(_SECTIONS)
+    if extra:
+        raise KeyError(f"unknown config sections: {sorted(extra)}")
+    return PipelineConfig(**sections)
+
+
+def config_to_dict(cfg: PipelineConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> PipelineConfig:
+    """Load a PipelineConfig from a YAML or JSON file, with dotted overrides.
+
+    ``overrides`` maps dotted keys ("stereo.max_disparity") to values, the
+    CLI-flag mechanism replacing the reference's hand-rolled argv parsing.
+    """
+    data: Dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            text = f.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            try:
+                import yaml  # type: ignore
+            except ImportError as e:  # pragma: no cover
+                raise ValueError(f"{path} is not JSON and PyYAML is unavailable") from e
+            data = yaml.safe_load(text) or {}
+    if overrides:
+        for dotted, val in overrides.items():
+            section, _, leaf = dotted.partition(".")
+            if not leaf:
+                raise KeyError(f"override must be 'section.key', got {dotted!r}")
+            data.setdefault(section, {})[leaf] = val
+    return config_from_dict(data)

@@ -1,0 +1,53 @@
+"""Test env: force the CPU backend with 8 virtual devices.
+
+Tests must run identically with or without the single real TPU chip; the
+multi-chip sharding suite needs >1 device, which only the CPU platform can
+simulate here (SURVEY.md §4.4). Must run before the first ``import jax``.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets axon (TPU); tests force CPU
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax  # noqa: E402
+
+# The axon TPU plugin in this environment ignores the JAX_PLATFORMS env var;
+# only the config knob reliably forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from online_3d_reconstruction_tpu.io.calibration import identity_rig  # noqa: E402
+from online_3d_reconstruction_tpu.io.synthetic import (  # noqa: E402
+    Plateau,
+    SyntheticScene,
+    nadir_pose,
+)
+
+
+@pytest.fixture(scope="session")
+def small_rig():
+    """A 192x256 pre-rectified rig — small enough for fast CPU tests."""
+    return identity_rig(fx=200.0, fy=200.0, cx=128.0, cy=96.0, baseline=0.5,
+                        width=256, height=192)
+
+
+@pytest.fixture(scope="session")
+def scene():
+    return SyntheticScene(
+        seed=3,
+        plateaus=[Plateau(x_min=-4.0, x_max=4.0, y_min=-3.0, y_max=5.0, height=6.0)],
+    )
+
+
+@pytest.fixture(scope="session")
+def stereo_frame(scene, small_rig):
+    return scene.render_stereo(nadir_pose(0.0, 0.0, 24.0), small_rig)
