@@ -1,0 +1,285 @@
+"""Semi-global matching (SGM) disparity on TPU.
+
+The reference computes disparity with ``cv::StereoSGBM::create(...)->compute()``
+(SURVEY.md §2.1 C5, §3.2): per-pixel matching cost over D hypotheses, path-wise
+dynamic-programming aggregation with P1/P2 smoothness penalties over 4-8 scan
+directions, winner-take-all with uniqueness ratio, subpixel parabola fit,
+left-right consistency and speckle filtering.
+
+TPU-native design (north star: "cost-volume SGM -> Pallas scan kernel"):
+
+- The path recurrence
+    L_r(p,d) = C(p,d) + min(L_r(p-r,d), L_r(p-r,d±1)+P1, min_k L_r(p-r,k)+P2)
+               - min_k L_r(p-r,k)
+  is a sequential scan along the path direction but *fully vectorized* over
+  the perpendicular image axis and the disparity axis — each scan step is an
+  (L, D) elementwise min-tree on the VPU.  This module implements it as a
+  ``jax.lax.scan`` (portable, compiles on CPU and TPU); ``sgm_pallas.py``
+  holds the VMEM-resident Pallas kernel used on real TPU hardware.
+- Diagonal paths are handled by *skewing* the cost volume (row y shifted by
+  ±y) so every diagonal becomes a column, reusing the same vertical scan —
+  a gather + the identical kernel, no special-case recurrence.
+- WTA / uniqueness / subpixel / LR-check are fused elementwise XLA.
+- The speckle filter (cv2.filterSpeckles semantics) is a connected-components
+  pass written as iterative min-label propagation inside ``lax.while_loop``
+  plus one scatter-add for blob sizes — no host round trip.
+
+Everything is static-shape; the only data-dependent loop (label propagation)
+is a ``while_loop`` bounded by the image diameter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.config import StereoConfig
+from online_3d_reconstruction_tpu.stereo.census import census_transform, cost_volume
+
+# Python float, not a jnp constant: module import must not touch a backend.
+_BIG = 1e9
+
+
+# ---------------------------------------------------------------------------
+# Path aggregation (lax.scan reference implementation)
+# ---------------------------------------------------------------------------
+
+def _sgm_step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float):
+    """One SGM recurrence step, vectorized over (L, D).
+
+    carry: previous line's aggregated costs L_r(p-r, :) of shape (L, D).
+    cost_slice: this line's matching costs C(p, :) of shape (L, D).
+    """
+    min_prev = jnp.min(carry, axis=-1, keepdims=True)
+    edge = jnp.full_like(carry[:, :1], _BIG)
+    d_minus = jnp.concatenate([edge, carry[:, :-1]], axis=1) + p1
+    d_plus = jnp.concatenate([carry[:, 1:], edge], axis=1) + p1
+    best = jnp.minimum(
+        jnp.minimum(carry, min_prev + p2), jnp.minimum(d_minus, d_plus)
+    )
+    new = cost_slice + best - min_prev
+    return new, new
+
+
+def _scan_path(cost: jnp.ndarray, p1: float, p2: float, reverse: bool) -> jnp.ndarray:
+    """Aggregate along axis 0 of an (S, L, D) volume in one direction."""
+    step = partial(_sgm_step, p1=p1, p2=p2)
+    init = jnp.zeros_like(cost[0])
+    _, out = jax.lax.scan(step, init, cost, reverse=reverse)
+    return out
+
+
+def _skew(cost: jnp.ndarray, sign: int) -> jnp.ndarray:
+    """Shear the (H, W, D) volume so diagonal paths become columns.
+
+    sign=+1 maps the (dy=1, dx=1) diagonal to a column (row y shifted right by
+    H-1-y); sign=-1 maps (dy=1, dx=-1) (row y shifted right by y). Padding
+    cells hold a uniform big cost, which the recurrence normalizes away, so a
+    path entering the real region restarts exactly as at an image border.
+    """
+    h, w, d = cost.shape
+    out_w = w + h - 1
+    cols = jnp.arange(out_w, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    shift = (h - 1 - rows) if sign > 0 else rows
+    src_x = cols - shift  # (H, out_W)
+    valid = (src_x >= 0) & (src_x < w)
+    gathered = jnp.take_along_axis(
+        cost, jnp.clip(src_x, 0, w - 1)[:, :, None].repeat(d, axis=2), axis=1
+    )
+    return jnp.where(valid[:, :, None], gathered, _BIG)
+
+
+def _deskew(skewed: jnp.ndarray, sign: int, width: int) -> jnp.ndarray:
+    h = skewed.shape[0]
+    d = skewed.shape[2]
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    shift = (h - 1 - rows) if sign > 0 else rows
+    src_x = cols + shift
+    return jnp.take_along_axis(skewed, src_x[:, :, None].repeat(d, axis=2), axis=1)
+
+
+def aggregate_scan(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4) -> jnp.ndarray:
+    """Sum of directional SGM aggregations over 2, 4, or 8 paths.
+
+    cost: (H, W, D) float32 matching costs. Returns (H, W, D) float32.
+    Paths: 2 = horizontal; 4 = + vertical; 8 = + both diagonals.
+    """
+    if num_paths not in (2, 4, 8):
+        raise ValueError(f"num_paths must be 2, 4, or 8, got {num_paths}")
+    h, w, _ = cost.shape
+    cost = cost.astype(jnp.float32)
+
+    # Horizontal: scan over W with lines of shape (H, D).
+    cost_t = jnp.swapaxes(cost, 0, 1)  # (W, H, D)
+    total = jnp.swapaxes(
+        _scan_path(cost_t, p1, p2, False) + _scan_path(cost_t, p1, p2, True), 0, 1
+    )
+    if num_paths >= 4:
+        # Vertical: scan over H with lines of shape (W, D).
+        total = total + _scan_path(cost, p1, p2, False) + _scan_path(cost, p1, p2, True)
+    if num_paths == 8:
+        for sign in (1, -1):
+            skewed = _skew(cost, sign)
+            agg = _scan_path(skewed, p1, p2, False) + _scan_path(skewed, p1, p2, True)
+            total = total + _deskew(agg, sign, w)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# WTA + uniqueness + subpixel
+# ---------------------------------------------------------------------------
+
+def wta_disparity(
+    aggregated: jnp.ndarray,
+    uniqueness_ratio: float = 0.95,
+    subpixel: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Winner-take-all over D with uniqueness gating and parabola subpixel.
+
+    Returns (disparity (H, W) float32, valid (H, W) bool).
+    """
+    d = aggregated.shape[-1]
+    best_idx = jnp.argmin(aggregated, axis=-1)
+    best = jnp.take_along_axis(aggregated, best_idx[..., None], axis=-1)[..., 0]
+
+    d_range = jnp.arange(d, dtype=jnp.int32)
+    near = jnp.abs(d_range - best_idx[..., None]) <= 1
+    second = jnp.min(jnp.where(near, _BIG, aggregated), axis=-1)
+    valid = best <= second * uniqueness_ratio
+
+    disp = best_idx.astype(jnp.float32)
+    if subpixel:
+        lo = jnp.maximum(best_idx - 1, 0)
+        hi = jnp.minimum(best_idx + 1, d - 1)
+        c_m = jnp.take_along_axis(aggregated, lo[..., None], axis=-1)[..., 0]
+        c_p = jnp.take_along_axis(aggregated, hi[..., None], axis=-1)[..., 0]
+        denom = c_m + c_p - 2.0 * best
+        offset = jnp.where(denom > 1e-6, (c_m - c_p) / (2.0 * denom), 0.0)
+        offset = jnp.clip(offset, -0.5, 0.5)
+        interior = (best_idx > 0) & (best_idx < d - 1)
+        disp = disp + jnp.where(interior, offset, 0.0)
+    return disp, valid
+
+
+def right_disparity_from_aggregated(aggregated: jnp.ndarray) -> jnp.ndarray:
+    """Right-view integer WTA disparity from the *left* aggregated volume.
+
+    aggR[y, x, d] = aggL[y, x + d, d] (the matching hypothesis linking right
+    pixel x to left pixel x+d) — the standard trick cv2 uses for its LR check,
+    requiring no second SGM pass.
+    """
+    h, w, d = aggregated.shape
+    x_idx = jnp.arange(w, dtype=jnp.int32)[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :]
+    oob = x_idx >= w
+    gathered = jnp.take_along_axis(
+        aggregated, jnp.clip(x_idx, 0, w - 1)[None, :, :].repeat(h, axis=0), axis=1
+    )
+    agg_r = jnp.where(oob[None, :, :], _BIG, gathered)
+    return jnp.argmin(agg_r, axis=-1).astype(jnp.float32)
+
+
+def lr_consistency_mask(disparity: jnp.ndarray, disp_right: jnp.ndarray,
+                        max_diff: int = 1) -> jnp.ndarray:
+    """Mask of left pixels whose right-view match agrees within max_diff."""
+    w = disparity.shape[1]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    xr = jnp.round(x - disparity).astype(jnp.int32)
+    in_img = (xr >= 0) & (xr < w)
+    d_r = jnp.take_along_axis(disp_right, jnp.clip(xr, 0, w - 1), axis=1)
+    return in_img & (jnp.abs(d_r - disparity) <= max_diff)
+
+
+# ---------------------------------------------------------------------------
+# Speckle filter (cv2.filterSpeckles semantics, on-device)
+# ---------------------------------------------------------------------------
+
+def speckle_filter(disparity: jnp.ndarray, valid: jnp.ndarray,
+                   max_size: int, max_diff: float) -> jnp.ndarray:
+    """Invalidate connected blobs of <= max_size pixels.
+
+    Pixels are 4-connected when both are valid and their disparities differ by
+    at most ``max_diff``. Connected components via iterative min-label
+    propagation (converges in <= blob diameter steps; while_loop exits early),
+    then one scatter-add counts blob sizes. Returns the updated valid mask.
+    """
+    if max_size <= 0:
+        return valid
+    h, w = disparity.shape
+    labels0 = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+
+    inf_lab = jnp.int32(h * w)
+
+    def connected(a_disp, b_disp, a_val, b_val):
+        return a_val & b_val & (jnp.abs(a_disp - b_disp) <= max_diff)
+
+    def propagate(state):
+        labels, _ = state
+        new = labels
+        # 4-neighborhood min-label propagation, edge-padded with self.
+        for axis, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            nb_lab = jnp.roll(labels, shift, axis=axis)
+            nb_disp = jnp.roll(disparity, shift, axis=axis)
+            nb_val = jnp.roll(valid, shift, axis=axis)
+            # roll wraps; kill the wrapped border row/column.
+            idx = jnp.arange(disparity.shape[axis])
+            if shift == 1:
+                border_ok = idx > 0
+            else:
+                border_ok = idx < disparity.shape[axis] - 1
+            border_ok = border_ok.reshape((-1, 1) if axis == 0 else (1, -1))
+            conn = connected(disparity, nb_disp, valid, nb_val) & border_ok
+            new = jnp.where(conn, jnp.minimum(new, nb_lab), new)
+        return new, jnp.any(new != labels)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, propagate, (labels0, jnp.bool_(True)))
+
+    flat = jnp.where(valid, labels, inf_lab).reshape(-1)
+    counts = jnp.zeros(h * w + 1, dtype=jnp.int32).at[flat].add(1)
+    blob_size = counts[labels.reshape(-1)].reshape(h, w)
+    return valid & (blob_size > max_size)
+
+
+# ---------------------------------------------------------------------------
+# Full disparity pipeline
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("config", "interpret_pallas"))
+def sgm_disparity(left: jnp.ndarray, right: jnp.ndarray, config: StereoConfig,
+                  interpret_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rectified grayscale pair -> (disparity (H, W) float32, valid (H, W) bool).
+
+    The complete cv::StereoSGBM-equivalent stage: census cost, path
+    aggregation (Pallas kernel on TPU, lax.scan otherwise), WTA + uniqueness +
+    subpixel, LR consistency, speckle filter. Invalid pixels carry
+    ``config.invalid_value`` in the returned disparity.
+    """
+    cen_l = census_transform(left, config.census_window)
+    cen_r = census_transform(right, config.census_window)
+    cost = cost_volume(cen_l, cen_r, config.max_disparity).astype(jnp.float32)
+
+    if config.use_pallas:
+        from online_3d_reconstruction_tpu.stereo.sgm_pallas import aggregate_pallas
+        aggregated = aggregate_pallas(
+            cost, config.p1, config.p2, config.num_paths,
+            interpret=interpret_pallas,
+        )
+    else:
+        aggregated = aggregate_scan(cost, config.p1, config.p2, config.num_paths)
+
+    disp, valid = wta_disparity(aggregated, config.uniqueness_ratio, config.subpixel)
+    if config.lr_max_diff >= 0:
+        disp_r = right_disparity_from_aggregated(aggregated)
+        valid = valid & lr_consistency_mask(disp, disp_r, config.lr_max_diff)
+    valid = valid & (disp > 0.0)
+    if config.speckle_window > 0:
+        valid = speckle_filter(disp, valid, config.speckle_window, config.speckle_range)
+    disp = jnp.where(valid, disp, config.invalid_value)
+    return disp, valid
