@@ -1,0 +1,117 @@
+"""Benchmark harness: end-to-end frames/s/chip on the full online pipeline.
+
+Headline metric (BASELINE.json:2): frames/s/chip for stereo -> fused cloud —
+the complete per-frame path (rectify, census+SGM disparity, FAST/BRIEF
+features, matmul matching, RANSAC pose correction, window BA, voxel fusion)
+on a synthetic 512x384 survey sequence with GT-checked output quality.
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Detailed stage breakdown goes to stderr and BENCH_DETAIL.json.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md; driver's
+"published": {}), so the denominator is the documented proxy of 10 frames/s
+for the reference OpenCV SGBM+ORB pipeline at this resolution on a
+CPU+CUDA workstation — see BASELINE.md for the derivation and caveats.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_PROXY_FPS = 10.0
+
+
+def main() -> None:
+    import jax
+
+    from online_3d_reconstruction_tpu.config import (
+        FeatureConfig,
+        MappingConfig,
+        OdometryConfig,
+        PipelineConfig,
+        RuntimeConfig,
+        StereoConfig,
+    )
+    from online_3d_reconstruction_tpu.io.calibration import identity_rig
+    from online_3d_reconstruction_tpu.io.dataset import SyntheticSequence
+    from online_3d_reconstruction_tpu.io.synthetic import (
+        Plateau,
+        SyntheticScene,
+        make_survey_trajectory,
+    )
+    from online_3d_reconstruction_tpu.runtime.pipeline import OnlineReconstructor
+    from online_3d_reconstruction_tpu.utils.metrics import ate_rmse
+
+    backend = jax.default_backend()
+    h, w, d = 384, 512, 64
+    rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
+                       width=w, height=h)
+    scene = SyntheticScene(
+        seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)]
+    )
+    n_warmup, n_timed = 3, 20
+    poses = make_survey_trajectory(n_warmup + n_timed, altitude=30.0, speed=1.2)
+    dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses)
+
+    cfg = PipelineConfig(
+        stereo=StereoConfig(height=h, width=w, max_disparity=d, num_paths=8,
+                            use_pallas=(backend == "tpu")),
+        features=FeatureConfig(max_keypoints=512, fast_threshold=5.0),
+        odometry=OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0),
+        mapping=MappingConfig(voxel_size=0.25, map_capacity=2_000_000,
+                              frame_point_stride=2, min_depth=1.0,
+                              max_depth=60.0),
+        runtime=RuntimeConfig(keyframe_translation=0.5),
+    )
+
+    # pre-render all frames so host rendering doesn't pollute device timing
+    frames = [dataset[i] for i in range(len(dataset))]
+
+    engine = OnlineReconstructor(cfg, rig)
+    for f in frames[:n_warmup]:
+        engine.process(f)
+    jax.block_until_ready(engine.gmap.points)
+
+    t0 = time.perf_counter()
+    for f in frames[n_warmup:]:
+        engine.process(f)
+    jax.block_until_ready(engine.gmap.points)
+    elapsed = time.perf_counter() - t0
+    fps = n_timed / elapsed
+
+    result = engine.finish()
+    gt = np.stack([f.gt_pose for f in frames])
+    ate = ate_rmse(result.trajectory, gt)
+
+    detail = {
+        "backend": backend,
+        "frames_timed": n_timed,
+        "elapsed_s": elapsed,
+        "frames_per_s_per_chip": fps,
+        "ate_m": ate,
+        "map_points": int(len(result.map_points)),
+        "stage_means_ms": {
+            k: v for k, v in result.metrics.items() if k.startswith("t_")
+        },
+        "resolution": f"{w}x{h}x{d}",
+        "vs_baseline_denominator": REFERENCE_PROXY_FPS,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    with open("BENCH_DETAIL.json", "w") as fh:
+        json.dump(detail, fh, indent=2)
+
+    print(json.dumps({
+        "metric": "frames/s/chip (stereo->fused cloud, 512x384xD64, 8-path SGM)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_PROXY_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Bundle-adjustment problem container + residuals/Jacobians.
+
+The reference refines the keyframe window by minimizing 3D-consistency error
+over co-observed features with a sparse CPU solver (SURVEY.md §2.1 C11,
+§3.4). Our residual is the camera-frame point consistency
+
+    r_kj = R_k^T (X_j - t_k) - p_kj
+
+for keyframe pose T_k = (R_k, t_k) (world-from-camera), landmark X_j (world),
+and observation p_kj (the feature's disparity-lifted camera-frame point).
+Jacobians are analytic, with a left-multiplicative pose update
+T <- exp([rho, phi]) T (se3.retract):
+
+    d r / d rho = -R^T          d r / d phi = R^T [X]_x
+    d r / d X   =  R^T
+
+Everything is a fixed-capacity flat observation list (kf index, landmark
+index, point, mask) so the whole solve jits with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.geometry import se3
+
+
+class BAProblem(NamedTuple):
+    poses: jnp.ndarray       # (W, 4, 4) initial world-from-camera keyframe poses
+    landmarks: jnp.ndarray   # (L, 3) initial world landmark positions
+    lm_valid: jnp.ndarray    # (L,) bool
+    obs_kf: jnp.ndarray      # (N,) int32 keyframe index per observation
+    obs_lm: jnp.ndarray      # (N,) int32 landmark index per observation
+    obs_point: jnp.ndarray   # (N, 3) float32 observed camera-frame point
+    obs_valid: jnp.ndarray   # (N,) bool
+
+
+def residuals(poses: jnp.ndarray, landmarks: jnp.ndarray,
+              problem: BAProblem) -> jnp.ndarray:
+    """(N, 3) residuals r = R^T (X - t) - p (invalid slots zeroed)."""
+    rot = poses[problem.obs_kf, :3, :3]          # (N, 3, 3)
+    t = poses[problem.obs_kf, :3, 3]             # (N, 3)
+    x = landmarks[problem.obs_lm]                # (N, 3)
+    pred = jnp.einsum("nij,nj->ni", jnp.swapaxes(rot, -1, -2), x - t,
+                      precision=jax.lax.Precision.HIGHEST)
+    r = pred - problem.obs_point
+    return jnp.where(problem.obs_valid[:, None], r, 0.0)
+
+
+def jacobians(poses: jnp.ndarray, landmarks: jnp.ndarray,
+              problem: BAProblem) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic per-observation Jacobians.
+
+    Returns (j_pose (N, 3, 6), j_point (N, 3, 3)). Ordering of the pose
+    tangent matches se3.exp: [rho (translation), phi (rotation)].
+    """
+    rot = poses[problem.obs_kf, :3, :3]
+    rot_t = jnp.swapaxes(rot, -1, -2)            # (N, 3, 3) = R^T
+    x = landmarks[problem.obs_lm]
+    x_hat = se3.hat(x)                           # (N, 3, 3)
+    j_rho = -rot_t
+    j_phi = jnp.einsum("nij,njk->nik", rot_t, x_hat,
+                       precision=jax.lax.Precision.HIGHEST)
+    j_pose = jnp.concatenate([j_rho, j_phi], axis=-1)    # (N, 3, 6)
+    j_point = rot_t
+    mask = problem.obs_valid[:, None, None]
+    return jnp.where(mask, j_pose, 0.0), jnp.where(mask, j_point, 0.0)
+
+
+def total_cost(poses: jnp.ndarray, landmarks: jnp.ndarray,
+               problem: BAProblem, huber_delta: float = 0.0) -> jnp.ndarray:
+    """Scalar robust cost (0.5 sum rho(|r|^2)); huber_delta<=0 = pure L2."""
+    r = residuals(poses, landmarks, problem)
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta > 0:
+        norm = jnp.sqrt(jnp.maximum(sq, 1e-18))
+        lin = huber_delta * (2.0 * norm - huber_delta)
+        cost = jnp.where(norm <= huber_delta, sq, lin)
+    else:
+        cost = sq
+    return 0.5 * jnp.sum(jnp.where(problem.obs_valid, cost, 0.0))
+
+
+def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """(N,) IRLS weights for the Huber loss on the 3-vector residual norm."""
+    norm = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(norm <= delta, 1.0, delta / jnp.maximum(norm, 1e-12))

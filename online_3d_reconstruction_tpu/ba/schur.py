@@ -1,0 +1,142 @@
+"""Damped Gauss-Newton with a dense-block Schur complement — the BA solver.
+
+North star mandate: "sparse CPU BA -> dense-block distributed Schur solve".
+The normal equations H = [[B, E], [E^T, C]] are assembled *densely in the
+block structure*: per-landmark 3x3 blocks C_j inverted in parallel, the
+pose-landmark coupling E held as a dense (W, L, 6, 3) tensor (W ~ 8-128
+keyframes, L <= max_landmarks: small), and the reduced camera system
+
+    S = B - E C^{-1} E^T        (6W x 6W, dense)
+    S dp = -g_p + E C^{-1} g_x
+    dx_j = C_j^{-1} (-g_x_j - E_{.j}^T dp)
+
+solved by Cholesky. Every accumulation is a ``segment_sum``/scatter-add and
+every contraction an einsum — the shape the MXU wants and the shape that
+distributes: shard the observation list across devices, ``psum`` the
+accumulated (B, C, E, g), solve the tiny reduced system replicated
+(parallel/ba_sharded.py wires exactly that).
+
+Gauge: the first pose's rows/columns of S are replaced by identity (exact
+anchor), matching the reference's fixed-first-keyframe convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.ba.problem import (
+    BAProblem,
+    huber_weights,
+    jacobians,
+    residuals,
+    total_cost,
+)
+from online_3d_reconstruction_tpu.geometry import se3
+
+
+def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
+                             huber_delta: float):
+    """One pass over the observation list -> (B, C, E, g_p, g_x).
+
+    This is the part a multi-device solve shards: each device accumulates
+    over its observation shard, then psums the outputs (they are plain sums).
+    """
+    w_count = poses.shape[0]
+    l_count = landmarks.shape[0]
+    r = residuals(poses, landmarks, problem)              # (N, 3)
+    j_pose, j_point = jacobians(poses, landmarks, problem)
+    w = problem.obs_valid.astype(jnp.float32)
+    if huber_delta > 0:
+        w = w * huber_weights(r, huber_delta)
+    wj = w[:, None, None]
+
+    jp_w = j_pose * wj                                    # (N, 3, 6)
+    jx_w = j_point * wj                                   # (N, 3, 3)
+    hp = jnp.einsum("nij,nik->njk", jp_w, j_pose)         # (N, 6, 6) weighted
+    hx = jnp.einsum("nij,nik->njk", jx_w, j_point)        # (N, 3, 3)
+    e_obs = jnp.einsum("nij,nik->njk", jp_w, j_point)     # (N, 6, 3)
+    gp_obs = jnp.einsum("nij,ni->nj", jp_w, r)            # (N, 6)
+    gx_obs = jnp.einsum("nij,ni->nj", jx_w, r)            # (N, 3)
+
+    b_blocks = jax.ops.segment_sum(hp, problem.obs_kf, num_segments=w_count)
+    c_blocks = jax.ops.segment_sum(hx, problem.obs_lm, num_segments=l_count)
+    g_p = jax.ops.segment_sum(gp_obs, problem.obs_kf, num_segments=w_count)
+    g_x = jax.ops.segment_sum(gx_obs, problem.obs_lm, num_segments=l_count)
+    e_dense = jnp.zeros((w_count, l_count, 6, 3), dtype=jnp.float32)
+    e_dense = e_dense.at[problem.obs_kf, problem.obs_lm].add(e_obs)
+    return b_blocks, c_blocks, e_dense, g_p, g_x
+
+
+def schur_solve(b_blocks, c_blocks, e_dense, g_p, g_x,
+                damping: float, anchor_first: bool):
+    """Reduced-camera-system solve. Returns (dp (W,6), dx (L,3))."""
+    w_count = b_blocks.shape[0]
+    l_count = c_blocks.shape[0]
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    c_damped = c_blocks + damping * eye3[None] + 1e-8 * eye3[None]
+    c_inv = jnp.linalg.inv(c_damped)                       # (L, 3, 3) batch
+
+    ec = jnp.einsum("wlij,ljk->wlik", e_dense, c_inv)      # (W, L, 6, 3)
+    # S[a, j, b, m] = delta_ab (B + lambda I) - sum_l (E C^-1)_{al} E_{bl}^T
+    s_coupling = jnp.einsum("aljk,blmk->ajbm", ec, e_dense)
+    s_mat = -s_coupling
+    diag_idx = jnp.arange(w_count)
+    s_mat = s_mat.at[diag_idx, :, diag_idx, :].add(b_blocks + damping * eye6[None])
+
+    rhs = -g_p + jnp.einsum("aljk,lk->aj", ec, g_x)        # (W, 6)
+
+    if anchor_first:
+        s_mat = s_mat.at[0, :, :, :].set(0.0)
+        s_mat = s_mat.at[:, :, 0, :].set(0.0)
+        s_mat = s_mat.at[0, jnp.arange(6), 0, jnp.arange(6)].set(1.0)
+        rhs = rhs.at[0].set(0.0)
+
+    s_full = s_mat.reshape(w_count * 6, w_count * 6)
+    chol, lower = jax.scipy.linalg.cho_factor(s_full)
+    dp = jax.scipy.linalg.cho_solve((chol, lower), rhs.reshape(-1)).reshape(w_count, 6)
+
+    # back-substitute landmarks: dx_j = C_j^{-1} (-g_x - E^T dp)
+    et_dp = jnp.einsum("wljk,wj->lk", e_dense, dp)         # (L, 3)
+    dx = jnp.einsum("lij,lj->li", c_inv, -g_x - et_dp)
+    return dp, dx
+
+
+@partial(jax.jit, static_argnames=("iters", "damping", "huber_delta", "anchor_first"))
+def solve_ba(problem: BAProblem, iters: int = 5, damping: float = 1e-4,
+             huber_delta: float = 0.5, anchor_first: bool = True
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run ``iters`` damped-GN steps. Returns (poses, landmarks, cost_trace).
+
+    cost_trace has iters+1 entries (cost before each step and after the last)
+    — the test suite asserts monotone decrease on synthetic problems.
+    """
+
+    def step(state, _):
+        poses, landmarks = state
+        cost_before = total_cost(poses, landmarks, problem, huber_delta)
+        b_blocks, c_blocks, e_dense, g_p, g_x = accumulate_normal_blocks(
+            poses, landmarks, problem, huber_delta
+        )
+        dp, dx = schur_solve(b_blocks, c_blocks, e_dense, g_p, g_x,
+                             damping, anchor_first)
+        new_poses = jax.vmap(se3.retract)(poses, dp)
+        new_landmarks = jnp.where(problem.lm_valid[:, None], landmarks + dx,
+                                  landmarks)
+        # reject a diverging step (cost-increase guard, LM-style)
+        cost_after = total_cost(new_poses, new_landmarks, problem, huber_delta)
+        accept = cost_after < cost_before
+        poses = jnp.where(accept, new_poses, poses)
+        landmarks = jnp.where(accept, new_landmarks, landmarks)
+        return (poses, landmarks), cost_before
+
+    (poses, landmarks), trace = jax.lax.scan(
+        step, (problem.poses, problem.landmarks), None, length=iters
+    )
+    final_cost = total_cost(poses, landmarks, problem, huber_delta)
+    return poses, landmarks, jnp.concatenate([trace, final_cost[None]])

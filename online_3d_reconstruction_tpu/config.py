@@ -72,6 +72,7 @@ class OdometryConfig:
     min_inliers: int = 12            # fitness gate: fall back to prior below this
     min_matches: int = 12            # matches required to attempt correction
     max_point_depth: float = 80.0    # Z cull for lifted feature points (metres)
+    depth_edge_threshold: float = 1.5  # reject keypoints on disparity edges (px)
     seed: int = 0
 
 

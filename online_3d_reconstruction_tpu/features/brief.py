@@ -1,0 +1,163 @@
+"""Oriented BRIEF (rBRIEF-style) binary descriptors, fully vectorized.
+
+The reference's ORB descriptors come from OpenCV's learned rBRIEF pattern
+(SURVEY.md §2.1 C7). We do not copy that table: the pattern here is the
+original BRIEF construction — point pairs drawn from an isotropic Gaussian
+over the patch (Calonder et al.) — generated once from a seeded host RNG and
+steered by the intensity-centroid orientation exactly as ORB does.
+
+TPU-native shape discipline: K keypoint patches are extracted with one
+batched gather, orientation is a masked moment sum, and all 256 bit
+comparisons for all K keypoints are a single (K, 256, ...) bilinear-gather +
+compare, packed to (K, 8) uint32 words for the matmul matcher.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_3d_reconstruction_tpu.config import FeatureConfig
+
+
+class Keypoints(NamedTuple):
+    """Static-capacity keypoint set with packed binary descriptors."""
+
+    xy: jnp.ndarray           # (K, 2) float32 pixel coords [x, y]
+    score: jnp.ndarray        # (K,) float32 detection score
+    angle: jnp.ndarray        # (K,) float32 orientation (radians)
+    descriptors: jnp.ndarray  # (K, W) uint32 packed binary descriptor words
+    valid: jnp.ndarray        # (K,) bool
+
+
+def brief_pattern(bits: int, patch_size: int, seed: int) -> np.ndarray:
+    """(bits, 4) float32 point-pair offsets (y1, x1, y2, x2), host-side.
+
+    Gaussian BRIEF sampling: offsets ~ N(0, (patch/5)^2), clipped inside the
+    patch with a 1px bilinear-sampling margin.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = patch_size / 5.0
+    lim = patch_size // 2 - 2
+    pts = rng.normal(0.0, sigma, size=(bits, 4))
+    return np.clip(pts, -lim, lim).astype(np.float32)
+
+
+def _gaussian_blur(image: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5-tap binomial blur (BRIEF needs a smoothed image)."""
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+    pad = jnp.pad(image, ((2, 2), (0, 0)), mode="edge")
+    rows = sum(k[i] * pad[i : i + image.shape[0], :] for i in range(5))
+    pad = jnp.pad(rows, ((0, 0), (2, 2)), mode="edge")
+    return sum(k[i] * pad[:, i : i + image.shape[1]] for i in range(5))
+
+
+def _extract_patches(image: jnp.ndarray, xy: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(K, P, P) patches centered on integer keypoint coords (one gather)."""
+    half = patch // 2
+    h, w = image.shape
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), half, w - 1 - half)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), half, h - 1 - half)
+    dy = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    dx = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    rows = cy[:, None, None] + dy[None, :, None]  # (K, P, 1)
+    cols = cx[:, None, None] + dx[None, None, :]  # (K, 1, P)
+    return image[rows, cols]  # (K, P, P)
+
+
+def _orientation(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle atan2(m01, m10) over a circular mask."""
+    k, p, _ = patches.shape
+    half = p // 2
+    coords = jnp.arange(p, dtype=jnp.float32) - half
+    yy = coords[:, None]
+    xx = coords[None, :]
+    circ = (yy * yy + xx * xx) <= half * half
+    masked = jnp.where(circ[None], patches, 0.0)
+    m10 = jnp.sum(masked * xx[None], axis=(1, 2))
+    m01 = jnp.sum(masked * yy[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _sample_patch_bilinear(patches: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
+    """Sample (K, P, P) patches at per-keypoint float coords (K, B) -> (K, B)."""
+    p = patches.shape[1]
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ty = py - y0
+    tx = px - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, p - 2)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, p - 2)
+    k_idx = jnp.arange(patches.shape[0], dtype=jnp.int32)[:, None]
+    v00 = patches[k_idx, y0, x0]
+    v10 = patches[k_idx, y0, x0 + 1]
+    v01 = patches[k_idx, y0 + 1, x0]
+    v11 = patches[k_idx, y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - tx) * (1 - ty)
+        + v10 * tx * (1 - ty)
+        + v01 * (1 - tx) * ty
+        + v11 * tx * ty
+    )
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(K, B) bool -> (K, B/32) uint32, LSB-first within each word."""
+    k, b = bits.shape
+    assert b % 32 == 0
+    words = bits.reshape(k, b // 32, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1).astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def describe_keypoints(image: jnp.ndarray, xy: jnp.ndarray, score: jnp.ndarray,
+                       valid: jnp.ndarray, config: FeatureConfig) -> Keypoints:
+    """Compute orientations + steered BRIEF descriptors for detected corners."""
+    pattern = jnp.asarray(
+        brief_pattern(config.descriptor_bits, config.patch_size, config.seed)
+    )
+    blurred = _gaussian_blur(image.astype(jnp.float32))
+    patches = _extract_patches(blurred, xy, config.patch_size)
+    angle = _orientation(patches)
+
+    half = config.patch_size // 2
+    cos_t = jnp.cos(angle)[:, None]
+    sin_t = jnp.sin(angle)[:, None]
+    y1, x1, y2, x2 = pattern[:, 0], pattern[:, 1], pattern[:, 2], pattern[:, 3]
+
+    def rotate(y, x):
+        # steer the sampling pattern by the keypoint orientation
+        ry = x[None, :] * sin_t + y[None, :] * cos_t
+        rx = x[None, :] * cos_t - y[None, :] * sin_t
+        return ry + half, rx + half
+
+    ry1, rx1 = rotate(y1, x1)
+    ry2, rx2 = rotate(y2, x2)
+    i1 = _sample_patch_bilinear(patches, ry1, rx1)
+    i2 = _sample_patch_bilinear(patches, ry2, rx2)
+    bits = i1 < i2
+    desc = _pack_bits(bits)
+    desc = jnp.where(valid[:, None], desc, 0)
+    return Keypoints(xy=xy, score=score, angle=angle, descriptors=desc, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def detect_and_describe(image: jnp.ndarray, config: FeatureConfig) -> Keypoints:
+    """Full C7 stage: FAST detection + oriented BRIEF description."""
+    from online_3d_reconstruction_tpu.features.fast import detect_keypoints
+
+    xy, score, valid = detect_keypoints(
+        image,
+        max_keypoints=config.max_keypoints,
+        threshold=config.fast_threshold / 255.0,
+        arc=config.fast_arc,
+        nms_radius=config.nms_radius,
+        border=config.border,
+        grid_tiles=config.grid_tiles,
+    )
+    return describe_keypoints(image, xy, score, valid, config)

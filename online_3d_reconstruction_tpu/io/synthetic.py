@@ -85,6 +85,12 @@ class SyntheticScene:
     seed: int = 0
     base_frequency: float = 0.15   # cycles/metre of the coarsest octave
     octaves: int = 5
+    # Sharp high-frequency albedo speckle (gravel/vegetation analog): nearest-
+    # neighbor lattice hash, so the image has pixel-scale corners and census
+    # contrast at any altitude — smooth value noise alone starves FAST/census
+    # when the ground-sample distance is small.
+    speckle_amplitude: float = 0.3
+    speckle_frequency: float = 10.0  # cells/metre
     plateaus: List[Plateau] = field(default_factory=list)
 
     def texture(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -96,6 +102,11 @@ class SyntheticScene:
             freq = self.base_frequency * (2.0 ** oct_idx)
             out += amp * _value_noise(x, y, self.seed * 31 + oct_idx, freq)
             amp_total += amp
+        if self.speckle_amplitude > 0:
+            fx = np.floor(x * self.speckle_frequency).astype(np.int64)
+            fy = np.floor(y * self.speckle_frequency).astype(np.int64)
+            out += self.speckle_amplitude * _hash_lattice(fx, fy, self.seed * 31 + 555)
+            amp_total += self.speckle_amplitude
         return (out / amp_total).astype(np.float32)
 
     def texture_rgb(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -1,0 +1,82 @@
+"""Voxel-grid downsampling as sort-by-key + segment reduction.
+
+The reference periodically runs ``pcl::VoxelGrid<PointXYZRGB>`` over the
+global cloud: one centroid-averaged point (position and color) per occupied
+leaf (SURVEY.md §2.1 C13, §3.5). North star mandate: "PCL voxel filter ->
+sorted-segment scatter reduction".
+
+TPU-native design: quantize to integer voxel coords, build a two-word key
+(the full 3D index exceeds int32, so we sort lexicographically by (low, high)
+with two stable sorts), mark segment boundaries where either word changes,
+turn boundaries into dense segment ids with a cumsum, and centroid-average
+via ``segment_sum``. Output is compacted by construction (segment ids are
+dense), same static capacity in as out, invalid slots masked — the streaming
+form the global map consumes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.geometry.backproject import PointCloud
+
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def voxel_coords(points: jnp.ndarray, voxel_size: float, bounds: float) -> jnp.ndarray:
+    """(N, 3) int32 voxel indices; caller guarantees |coord| < bounds."""
+    return jnp.floor((points + bounds) / voxel_size).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "bounds"))
+def voxel_downsample(cloud: PointCloud, voxel_size: float,
+                     bounds: float = 2048.0) -> PointCloud:
+    """One centroid point per occupied voxel (pcl::VoxelGrid semantics).
+
+    Same capacity out as in; representatives occupy the leading slots
+    (compacted), trailing slots are invalid.
+    """
+    n = cloud.points.shape[0]
+    per_axis = int(2.0 * bounds / voxel_size) + 2
+    if per_axis * per_axis >= 2**31:
+        raise ValueError("voxel grid too fine for two-word keys; raise voxel_size")
+
+    idx = voxel_coords(cloud.points, voxel_size, bounds)
+    in_bounds = jnp.all((idx >= 0) & (idx < per_axis), axis=1) & cloud.valid
+    # two-word lexicographic key: hi = ix, lo = iy * nz + iz
+    key_hi = jnp.where(in_bounds, idx[:, 0], _SENTINEL)
+    key_lo = jnp.where(in_bounds, idx[:, 1] * per_axis + idx[:, 2], _SENTINEL)
+
+    # stable lexicographic sort: by lo first, then by hi
+    order = jnp.argsort(key_lo, stable=True)
+    order = order[jnp.argsort(key_hi[order], stable=True)]
+    hi_s = key_hi[order]
+    lo_s = key_lo[order]
+    pts_s = cloud.points[order]
+    col_s = cloud.colors[order]
+    val_s = in_bounds[order]
+
+    new_seg = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.int32),
+            ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(jnp.int32),
+        ]
+    )
+    seg_id = jnp.cumsum(new_seg) - 1  # dense ids, 0-based
+
+    valf = val_s.astype(jnp.float32)[:, None]
+    sum_pts = jax.ops.segment_sum(pts_s * valf, seg_id, num_segments=n)
+    sum_col = jax.ops.segment_sum(col_s * valf, seg_id, num_segments=n)
+    counts = jax.ops.segment_sum(valf[:, 0], seg_id, num_segments=n)
+    denom = jnp.maximum(counts, 1.0)[:, None]
+
+    # a segment is a real voxel iff its first element was in-bounds/valid
+    seg_valid = jax.ops.segment_max(val_s.astype(jnp.int32), seg_id, num_segments=n) > 0
+    return PointCloud(
+        points=sum_pts / denom,
+        colors=sum_col / denom,
+        valid=seg_valid,
+    )

@@ -1,0 +1,137 @@
+"""Visual-odometry front-end: features -> matches -> 3D-3D pose correction.
+
+Mirrors the reference's pose-correction path (SURVEY.md §3.3): ORB detect on
+the left image, brute-force match against the previous keyframe, lift both
+matched sets to 3D through their disparity maps, estimate the rigid relative
+transform, gate on fitness, and compose with the flight-log prior. Every
+stage here is the TPU-native counterpart (stencil FAST, matmul matching,
+vmapped RANSAC), fused into one jitted step per frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.config import FeatureConfig, MatchConfig, OdometryConfig
+from online_3d_reconstruction_tpu.features.brief import Keypoints, detect_and_describe
+from online_3d_reconstruction_tpu.features.match import Matches, match_descriptors
+from online_3d_reconstruction_tpu.geometry import se3
+from online_3d_reconstruction_tpu.odometry.rigid import ransac_rigid
+
+
+class FrameFeatures(NamedTuple):
+    """Per-frame odometry state: keypoints + their camera-frame 3D lifts."""
+
+    keypoints: Keypoints
+    points3d: jnp.ndarray   # (K, 3) float32 camera-frame points
+    valid3d: jnp.ndarray    # (K,) bool — keypoint has a usable depth
+
+
+def lift_keypoints_to_3d(
+    xy: jnp.ndarray,
+    disparity: jnp.ndarray,
+    q: jnp.ndarray,
+    max_depth: float = 80.0,
+    min_depth: float = 0.1,
+    edge_threshold: float = 1.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lift (K, 2) pixel coords to camera-frame 3D via the disparity map.
+
+    Gathers each keypoint's disparity (nearest pixel) and applies Q, the same
+    per-point math as the dense backprojection (geometry/backproject.py).
+
+    Corners cluster on object boundaries, where SGM disparity mixes the two
+    surfaces and systematically biases the 3D-3D fit; keypoints whose 4
+    (2px-spaced) neighbors disagree by more than ``edge_threshold`` pixels of
+    disparity (or are invalid) are rejected. Returns ((K, 3) points, (K,) valid).
+    """
+    h, w = disparity.shape
+    u = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    d = disparity[v, u]
+
+    on_edge = jnp.zeros(d.shape, dtype=bool)
+    if edge_threshold > 0:
+        for du, dv in ((2, 0), (-2, 0), (0, 2), (0, -2)):
+            d_nb = disparity[jnp.clip(v + dv, 0, h - 1), jnp.clip(u + du, 0, w - 1)]
+            on_edge |= (jnp.abs(d_nb - d) > edge_threshold) | (d_nb <= 0.0)
+    uvd1 = jnp.stack(
+        [xy[:, 0], xy[:, 1], d, jnp.ones_like(d)], axis=-1
+    ).astype(jnp.float32)
+    xyzw = jnp.einsum("ij,nj->ni", q.astype(jnp.float32), uvd1,
+                      precision=jax.lax.Precision.HIGHEST)
+    w_coord = xyzw[:, 3]
+    safe_w = jnp.where(jnp.abs(w_coord) > 1e-12, w_coord, 1e-12)
+    pts = xyzw[:, :3] / safe_w[:, None]
+    z = pts[:, 2]
+    ok = (d > 0.0) & (z > min_depth) & (z < max_depth) & jnp.isfinite(z) & ~on_edge
+    return jnp.where(ok[:, None], pts, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("feat_cfg", "odo_cfg"))
+def extract_frame_features(
+    left: jnp.ndarray,
+    disparity: jnp.ndarray,
+    q: jnp.ndarray,
+    feat_cfg: FeatureConfig,
+    odo_cfg: OdometryConfig,
+) -> FrameFeatures:
+    """Detect + describe + lift: everything odometry keeps per keyframe."""
+    kp = detect_and_describe(left, feat_cfg)
+    pts, ok = lift_keypoints_to_3d(
+        kp.xy, disparity, q,
+        max_depth=odo_cfg.max_point_depth,
+        edge_threshold=odo_cfg.depth_edge_threshold,
+    )
+    return FrameFeatures(keypoints=kp, points3d=pts, valid3d=ok & kp.valid)
+
+
+@partial(jax.jit, static_argnames=("match_cfg", "odo_cfg"))
+def odometry_step(
+    curr: FrameFeatures,
+    prev: FrameFeatures,
+    prior_rel: jnp.ndarray,
+    key: jax.Array,
+    match_cfg: MatchConfig,
+    odo_cfg: OdometryConfig,
+):
+    """One pose-correction step against the previous keyframe.
+
+    prior_rel: (4, 4) flight-log relative pose (prev-camera <- curr-camera),
+    the fallback when visual correction fails its fitness gate.
+
+    Returns (rel (4,4) prev<-curr, used_vo (), inlier_count (), matches).
+    """
+    matches = match_descriptors(
+        curr.keypoints.descriptors,
+        prev.keypoints.descriptors,
+        curr.keypoints.valid,
+        prev.keypoints.valid,
+        max_hamming=match_cfg.max_hamming,
+        ratio=match_cfg.ratio,
+        cross_check=match_cfg.cross_check,
+    )
+    src = curr.points3d                      # current-camera frame
+    dst = prev.points3d[matches.index]       # matched previous-camera points
+    pair_ok = matches.valid & curr.valid3d & prev.valid3d[matches.index]
+
+    enough = jnp.sum(pair_ok) >= odo_cfg.min_matches
+    t_vo, inlier_mask, count, fit_ok = ransac_rigid(
+        src, dst, pair_ok, key,
+        iters=odo_cfg.ransac_iters,
+        threshold=odo_cfg.ransac_threshold,
+        min_inliers=odo_cfg.min_inliers,
+    )
+    used_vo = fit_ok & enough
+    rel = jnp.where(used_vo, t_vo, prior_rel)
+    return rel, used_vo, count, matches
+
+
+def compose_world_pose(pose_prev: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
+    """World pose of the current frame from the previous world pose and the
+    (prev-camera <- curr-camera) relative transform."""
+    return se3.compose(pose_prev, rel)

@@ -1,0 +1,111 @@
+"""Rigid 3D-3D alignment: weighted Umeyama fit + fixed-shape RANSAC.
+
+The reference lifts matched keypoints to 3D via their disparities and fits a
+rigid SE(3) with a centroid+SVD estimate plus outlier gating (SURVEY.md §2.1
+C9, §3.3). TPU-native form: the SVD fit is a tiny fp32 batch op; RANSAC runs
+a *fixed* number of hypotheses as one ``vmap`` (3-point minimal fits in
+parallel), scores all of them against all matches in one broadcast, and
+refits on the best inlier set — no data-dependent iteration, identical cost
+every frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.geometry import se3
+
+
+def rigid_transform(src: jnp.ndarray, dst: jnp.ndarray,
+                    weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted least-squares rigid fit: find T with dst ~= R @ src + t.
+
+    src, dst: (N, 3); weights: (N,) nonnegative. Returns (4, 4) float32.
+    Degenerate inputs (rank-deficient covariance) still return a valid
+    rotation (SVD is total); callers gate on inlier fitness, not on here.
+    """
+    w = weights.astype(jnp.float32)
+    w_sum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = (w / w_sum)[:, None]
+    centroid_s = jnp.sum(src * wn, axis=0)
+    centroid_d = jnp.sum(dst * wn, axis=0)
+    src_c = src - centroid_s
+    dst_c = dst - centroid_d
+    # 3x3 weighted cross-covariance at full precision (pose math, never MXU-bound)
+    cov = jnp.einsum("ni,nj->ij", src_c * wn, dst_c,
+                     precision=jax.lax.Precision.HIGHEST)
+    u, _, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(vt.T @ u.T)
+    d_fix = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(jnp.sign(det))
+    rot = vt.T @ d_fix @ u.T
+    t = centroid_d - rot @ centroid_s
+    return se3.from_rt(rot.astype(jnp.float32), t.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("iters", "threshold", "min_inliers"))
+def ransac_rigid(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    iters: int = 128,
+    threshold: float = 0.25,
+    min_inliers: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Robust rigid fit of dst ~= T(src) over masked correspondences.
+
+    Returns (T (4,4), inlier_mask (N,), inlier_count (), ok ()).
+    ``ok`` is False when the best hypothesis has < min_inliers — the caller
+    falls back to its pose prior (the reference's fitness gate).
+    """
+    n = src.shape[0]
+
+    # --- hypothesis sampling: (iters, 3) indices over the match slots -------
+    samples = jax.random.randint(key, (iters, 3), 0, n)
+
+    def fit_minimal(idx):
+        s = src[idx]
+        d = dst[idx]
+        w = valid[idx].astype(jnp.float32)
+        # all three points must be valid, else the hypothesis scores 0 inliers
+        w_ok = jnp.all(valid[idx])
+        t_mat = rigid_transform(s, d, w + 1e-6)
+        return t_mat, w_ok
+
+    t_hyp, hyp_ok = jax.vmap(fit_minimal)(samples)  # (iters, 4, 4), (iters,)
+
+    # --- score every hypothesis against every match in one broadcast -------
+    src_h = jnp.concatenate([src, jnp.ones((n, 1), dtype=src.dtype)], axis=1)
+    proj = jnp.einsum("kij,nj->kni", t_hyp, src_h,
+                      precision=jax.lax.Precision.HIGHEST)[..., :3]
+    err = jnp.linalg.norm(proj - dst[None], axis=-1)  # (iters, N)
+    inlier = (err < threshold) & valid[None]
+    counts = jnp.sum(inlier, axis=1) * hyp_ok.astype(jnp.int32)
+
+    best = jnp.argmax(counts)
+    best_mask = inlier[best]
+
+    # --- refit on inliers, then IRLS polish with Huber weights --------------
+    # A hard inlier ball truncates the residual distribution and biases the
+    # refit when noise sigma ~ threshold; 3 Huber reweighting steps over the
+    # *full* match set (anchored by the RANSAC consensus) fix that.
+    t_fit = rigid_transform(src, dst, best_mask.astype(jnp.float32))
+    huber = threshold
+
+    def irls_step(t_cur, _):
+        r = jnp.linalg.norm(se3.transform_points(t_cur, src) - dst, axis=-1)
+        w = jnp.where(r <= huber, 1.0, huber / jnp.maximum(r, 1e-9))
+        w = w * valid.astype(jnp.float32)
+        return rigid_transform(src, dst, w), None
+
+    t_fit, _ = jax.lax.scan(irls_step, t_fit, None, length=3)
+    proj = se3.transform_points(t_fit, src)
+    refined_mask = (jnp.linalg.norm(proj - dst, axis=-1) < threshold) & valid
+    count = jnp.sum(refined_mask)
+    ok = count >= min_inliers
+    t_out = jnp.where(ok, t_fit, jnp.eye(4, dtype=jnp.float32))
+    return t_out, refined_mask, count, ok

@@ -1,0 +1,111 @@
+"""Distributed bundle adjustment: observation-sharded Schur assembly (P2).
+
+North star: "distributed bundle adjustment via Schur-complement reduction
+over psum/all-gather collectives". The normal-equation accumulations in
+ba/schur.py are plain sums over the observation list, so the multi-device
+form is exact and simple:
+
+- observations are sharded along the mesh axis (``P('d')``);
+- each device accumulates (B, C, E, g_p, g_x) over its shard;
+- one ``psum`` reduces the blocks (B: W·36, C: L·9, E: W·L·18 floats —
+  kilobytes over ICI, not the raw observations);
+- the tiny reduced camera system is solved replicated on every device
+  (identical result, no broadcast needed).
+
+Bit-equivalence with the single-device solver is asserted by
+tests/test_parallel.py on a CPU-simulated 8-device mesh (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from online_3d_reconstruction_tpu.ba.problem import BAProblem, total_cost
+from online_3d_reconstruction_tpu.ba.schur import (
+    accumulate_normal_blocks,
+    schur_solve,
+)
+from online_3d_reconstruction_tpu.geometry import se3
+from online_3d_reconstruction_tpu.parallel.mesh import DEFAULT_AXIS, pad_to_multiple
+
+
+def _pad_observations(problem: BAProblem, n_devices: int) -> BAProblem:
+    n = problem.obs_kf.shape[0]
+    target = pad_to_multiple(n, n_devices)
+    if target == n:
+        return problem
+    pad = target - n
+    return problem._replace(
+        obs_kf=jnp.pad(problem.obs_kf, (0, pad)),
+        obs_lm=jnp.pad(problem.obs_lm, (0, pad)),
+        obs_point=jnp.pad(problem.obs_point, ((0, pad), (0, 0))),
+        obs_valid=jnp.pad(problem.obs_valid, (0, pad)),
+    )
+
+
+def solve_ba_sharded(
+    problem: BAProblem,
+    mesh: Mesh,
+    iters: int = 5,
+    damping: float = 1e-4,
+    huber_delta: float = 0.5,
+    anchor_first: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in distributed version of ba.schur.solve_ba.
+
+    Same signature + a mesh; observations are sharded over the mesh axis and
+    the normal blocks psum-reduced. Returns (poses, landmarks, cost_trace).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    problem = _pad_observations(problem, n_dev)
+
+    def _accumulate(poses, landmarks, lm_valid, obs_kf, obs_lm, obs_pt, obs_ok):
+        local = BAProblem(
+            poses=poses, landmarks=landmarks, lm_valid=lm_valid,
+            obs_kf=obs_kf, obs_lm=obs_lm, obs_point=obs_pt, obs_valid=obs_ok,
+        )
+        blocks = accumulate_normal_blocks(poses, landmarks, local, huber_delta)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), blocks)
+
+    acc = shard_map(
+        _accumulate,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+
+    @jax.jit
+    def run(problem: BAProblem):
+        def step(state, _):
+            poses, landmarks = state
+            cost_before = total_cost(poses, landmarks, problem, huber_delta)
+            b, c, e, g_p, g_x = acc(
+                poses, landmarks, problem.lm_valid,
+                problem.obs_kf, problem.obs_lm, problem.obs_point,
+                problem.obs_valid,
+            )
+            dp, dx = schur_solve(b, c, e, g_p, g_x, damping, anchor_first)
+            new_poses = jax.vmap(se3.retract)(poses, dp)
+            new_landmarks = jnp.where(
+                problem.lm_valid[:, None], landmarks + dx, landmarks
+            )
+            cost_after = total_cost(new_poses, new_landmarks, problem, huber_delta)
+            accept = cost_after < cost_before
+            poses = jnp.where(accept, new_poses, poses)
+            landmarks = jnp.where(accept, new_landmarks, landmarks)
+            return (poses, landmarks), cost_before
+
+        (poses, landmarks), trace = jax.lax.scan(
+            step, (problem.poses, problem.landmarks), None, length=iters
+        )
+        final = total_cost(poses, landmarks, problem, huber_delta)
+        return poses, landmarks, jnp.concatenate([trace, final[None]])
+
+    return run(problem)

@@ -1,0 +1,249 @@
+"""The online reconstruction loop — the reference's ``main()`` made a library.
+
+Mirrors SURVEY.md §3.1 stage by stage: per frame — rectify, SGM disparity,
+backproject, detect+describe, match vs previous keyframe, 3D-3D pose
+correction composed with the flight-log prior, keyframe policy, cloud fusion
+into the global voxel map, periodic downsampling, metrics. Local BA over the
+keyframe window (§3.4) hooks in at keyframe events.
+
+TPU-native structure: the heavy work is fused into three jitted stage
+functions (frame compute / visual odometry / fusion) so each frame costs a
+fixed, small number of dispatches; the host only composes 4x4 poses, decides
+keyframes, and triggers the amortized map downsample. All device state
+(global map pool, keyframe features) is static-shape.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_3d_reconstruction_tpu.ba.window import WindowBA
+from online_3d_reconstruction_tpu.config import PipelineConfig
+from online_3d_reconstruction_tpu.geometry import se3
+from online_3d_reconstruction_tpu.geometry.backproject import PointCloud, backproject_disparity
+from online_3d_reconstruction_tpu.io.calibration import RectifiedRig
+from online_3d_reconstruction_tpu.io.dataset import FrameData
+from online_3d_reconstruction_tpu.mapping.global_map import (
+    GlobalMap,
+    create_map,
+    downsample_map,
+    insert_cloud,
+    map_to_numpy,
+    needs_downsample,
+)
+from online_3d_reconstruction_tpu.odometry.frontend import (
+    FrameFeatures,
+    extract_frame_features,
+    odometry_step,
+)
+from online_3d_reconstruction_tpu.stereo.rectify import rectify_pair, remap_bilinear
+from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
+from online_3d_reconstruction_tpu.utils.metrics import MetricsLogger, StageTimer
+
+
+class ReconstructionResult(NamedTuple):
+    trajectory: np.ndarray        # (N, 4, 4) estimated world-from-camera
+    keyframe_indices: np.ndarray  # (K,) frame index of each keyframe
+    map_points: np.ndarray        # (M, 3)
+    map_colors: np.ndarray        # (M, 3)
+    metrics: dict                 # summary stats (frames/s, stage means, ...)
+
+
+class _Keyframe(NamedTuple):
+    index: int
+    features: FrameFeatures
+    pose: jnp.ndarray        # (4, 4) current world estimate (BA-refined)
+    prior_pose: jnp.ndarray  # (4, 4) flight-log prior at that frame
+
+
+@partial(jax.jit, static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg"))
+def _frame_stage(left, right, color, map_left, map_right, q,
+                 stereo_cfg, feat_cfg, odo_cfg, map_cfg):
+    """Rectify -> disparity -> features -> camera-frame cloud (one dispatch)."""
+    left_r, right_r = rectify_pair(left, right, map_left, map_right)
+    color_r = left_r if color is None else remap_bilinear(color, map_left)
+    disp, valid = sgm_disparity(left_r, right_r, stereo_cfg)
+    feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
+    cloud = backproject_disparity(
+        disp, color_r, q,
+        stride=map_cfg.frame_point_stride,
+        min_depth=map_cfg.min_depth,
+        max_depth=map_cfg.max_depth,
+        invalid_value=stereo_cfg.invalid_value,
+    )
+    return disp, feats, cloud
+
+
+@jax.jit
+def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> GlobalMap:
+    """Transform the camera-frame cloud to world and append to the map pool."""
+    world_pts = se3.transform_points(pose, cloud.points)
+    return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
+
+
+class OnlineReconstructor:
+    """Streaming driver: feed ``FrameData``, read back trajectory + map."""
+
+    def __init__(self, config: PipelineConfig, rig: RectifiedRig):
+        self.cfg = config
+        self.rig = rig
+        self.q = jnp.asarray(rig.q, dtype=jnp.float32)
+        self.map_left = jnp.asarray(rig.map_left)
+        self.map_right = jnp.asarray(rig.map_right)
+        self.gmap = create_map(config.mapping.map_capacity)
+        self.trajectory: List[np.ndarray] = []
+        self.keyframes: List[_Keyframe] = []
+        self.frame_idx = 0
+        self._frames_since_fuse = 0
+        self._key = jax.random.PRNGKey(config.odometry.seed)
+        self.metrics = MetricsLogger(config.runtime.metrics_path)
+        self._ba = WindowBA(config.ba) if config.runtime.ba_every_keyframe else None
+        self._t_start = None
+
+    # -- keyframe policy (reference: new keyframe on sufficient motion) -----
+    def _is_keyframe(self, pose: jnp.ndarray) -> bool:
+        if not self.keyframes:
+            return True
+        last = self.keyframes[-1]
+        if self.frame_idx - last.index < self.cfg.runtime.keyframe_min_gap:
+            return False
+        t_err, r_err = se3.geodesic_distance(last.pose, pose)
+        return bool(
+            (t_err > self.cfg.runtime.keyframe_translation)
+            | (r_err > self.cfg.runtime.keyframe_rotation)
+        )
+
+    def process(self, frame: FrameData) -> dict:
+        """Run one frame through the full pipeline; returns frame metrics."""
+        if self._t_start is None:
+            self._t_start = time.perf_counter()
+        timer = StageTimer()
+        cfg = self.cfg
+        prior = jnp.asarray(frame.prior_pose, dtype=jnp.float32)
+
+        with timer.stage("frame_compute"):
+            disp, feats, cloud = _frame_stage(
+                jnp.asarray(frame.left), jnp.asarray(frame.right),
+                jnp.asarray(frame.color), self.map_left, self.map_right, self.q,
+                cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+            )
+
+        used_vo = False
+        inliers = 0
+        matches = None
+        if not self.keyframes:
+            pose = prior  # first frame anchors the world to the prior
+        else:
+            kf = self.keyframes[-1]
+            prior_rel = se3.compose(se3.inverse(kf.prior_pose), prior)
+            self._key, sub = jax.random.split(self._key)
+            with timer.stage("odometry"):
+                rel, used_vo_j, count, matches = odometry_step(
+                    feats, kf.features, prior_rel, sub,
+                    cfg.matching, cfg.odometry,
+                )
+                pose = se3.compose(kf.pose, rel)
+                used_vo = bool(used_vo_j)
+                inliers = int(count)
+
+        self.trajectory.append(np.asarray(pose))
+
+        is_kf = self._is_keyframe(pose)
+        if is_kf:
+            self.keyframes.append(
+                _Keyframe(index=self.frame_idx, features=feats, pose=pose,
+                          prior_pose=prior)
+            )
+            if self._ba is not None:
+                with timer.stage("ba"):
+                    self._ba.add_keyframe(
+                        index=self.frame_idx,
+                        points3d=np.asarray(feats.points3d),
+                        valid3d=np.asarray(feats.valid3d),
+                        pose=np.asarray(pose),
+                        match_index=(np.asarray(matches.index)
+                                     if matches is not None else None),
+                        match_valid=(np.asarray(matches.valid)
+                                     if matches is not None else None),
+                    )
+                    self._run_window_ba()
+
+        with timer.stage("fusion"):
+            self._frames_since_fuse += 1
+            if self._frames_since_fuse >= cfg.mapping.fuse_every:
+                self._frames_since_fuse = 0
+                self.gmap = _fusion_stage(self.gmap, cloud, pose)
+            frame_points = cloud.points.shape[0]
+            if (
+                bool(needs_downsample(self.gmap, frame_points))
+                or (self.frame_idx + 1) % cfg.mapping.downsample_every == 0
+            ):
+                self.gmap = downsample_map(
+                    self.gmap, cfg.mapping.voxel_size, cfg.mapping.bounds
+                )
+
+        record = {
+            "frame": self.frame_idx,
+            "keyframe": is_kf,
+            "used_vo": used_vo,
+            "vo_inliers": inliers,
+            "map_points": int(self.gmap.cursor),
+            **{f"t_{k}_ms": v * 1e3 for k, v in timer.times.items()},
+        }
+        self.metrics.log(record)
+        self.frame_idx += 1
+        return record
+
+    def _run_window_ba(self) -> None:
+        """Refine the sliding keyframe window and sync pipeline state."""
+        refined = self._ba.solve_window()
+        if refined is None:
+            return
+        for i, pose in enumerate(refined):
+            k = len(self.keyframes) - len(refined) + i
+            self.keyframes[k] = self.keyframes[k]._replace(
+                pose=jnp.asarray(pose)
+            )
+        # keep the public trajectory consistent with the refined keyframes
+        for kf in self.keyframes[-len(refined):]:
+            if kf.index < len(self.trajectory):
+                self.trajectory[kf.index] = np.asarray(kf.pose)
+
+    def finish(self) -> ReconstructionResult:
+        """Flush the map and return trajectory + fused cloud + metrics."""
+        jax.block_until_ready(self.gmap.points)
+        elapsed = (time.perf_counter() - self._t_start) if self._t_start else 0.0
+        self.gmap = downsample_map(
+            self.gmap, self.cfg.mapping.voxel_size, self.cfg.mapping.bounds
+        )
+        pts, cols = map_to_numpy(self.gmap)
+        summary = self.metrics.summary()
+        summary["frames"] = self.frame_idx
+        summary["keyframes"] = len(self.keyframes)
+        if elapsed > 0:
+            summary["frames_per_s"] = self.frame_idx / elapsed
+        self.metrics.close()
+        return ReconstructionResult(
+            trajectory=np.asarray(self.trajectory),
+            keyframe_indices=np.asarray([k.index for k in self.keyframes]),
+            map_points=pts,
+            map_colors=cols,
+            metrics=summary,
+        )
+
+
+def reconstruct(dataset, config: PipelineConfig, rig: RectifiedRig) -> ReconstructionResult:
+    """One-call API: iterate a dataset through the online loop.
+
+    The L7 entry point (SURVEY.md §3.6): ``o3r.reconstruct(dataset, config)``.
+    """
+    engine = OnlineReconstructor(config, rig)
+    for frame in dataset:
+        engine.process(frame)
+    return engine.finish()

@@ -1,0 +1,225 @@
+"""BA correctness (SURVEY.md §4.3): synthetic bundles with known optimum,
+gradient cross-check via jax.grad, Schur-vs-direct equivalence, GN descent."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.ba.problem import (
+    BAProblem,
+    residuals,
+    total_cost,
+)
+from online_3d_reconstruction_tpu.ba.schur import (
+    accumulate_normal_blocks,
+    schur_solve,
+    solve_ba,
+)
+from online_3d_reconstruction_tpu.config import BAConfig
+from online_3d_reconstruction_tpu.ba.window import WindowBA
+from online_3d_reconstruction_tpu.geometry import se3
+
+
+def _make_problem(rng, w=4, l=32, obs_per_kf=None, pose_noise=0.05,
+                  lm_noise=0.05, obs_noise=0.0, n_cap=None):
+    """Synthetic bundle: nadir-ish cameras over scattered ground points."""
+    gt_poses = []
+    for k in range(w):
+        pose = np.eye(4)
+        pose[:3, :3] = np.diag([1.0, -1.0, -1.0])
+        pose[:3, 3] = [2.0 * k, 0.3 * k, 10.0 + 0.1 * k]
+        gt_poses.append(pose)
+    gt_poses = np.stack(gt_poses).astype(np.float32)
+    gt_lms = np.stack(
+        [rng.uniform(-4, 2 * w + 4, l), rng.uniform(-5, 5, l), rng.uniform(0, 1.5, l)],
+        axis=1,
+    ).astype(np.float32)
+
+    obs_kf, obs_lm, obs_pt = [], [], []
+    for k in range(w):
+        inv = np.linalg.inv(gt_poses[k])
+        for j in range(l):
+            p = inv[:3, :3] @ gt_lms[j] + inv[:3, 3]
+            if obs_noise > 0:
+                p = p + rng.normal(0, obs_noise, 3)
+            obs_kf.append(k)
+            obs_lm.append(j)
+            obs_pt.append(p)
+    n = len(obs_kf)
+    cap = n_cap or n
+
+    # perturb everything except the anchored first pose
+    noisy_poses = gt_poses.copy()
+    for k in range(1, w):
+        xi = np.concatenate([rng.normal(0, pose_noise, 3), rng.normal(0, pose_noise / 2, 3)])
+        noisy_poses[k] = np.asarray(
+            se3.retract(jnp.asarray(gt_poses[k]), jnp.asarray(xi, dtype=jnp.float32))
+        )
+    noisy_lms = gt_lms + rng.normal(0, lm_noise, gt_lms.shape).astype(np.float32)
+
+    problem = BAProblem(
+        poses=jnp.asarray(noisy_poses),
+        landmarks=jnp.asarray(noisy_lms),
+        lm_valid=jnp.ones(l, dtype=bool),
+        obs_kf=jnp.asarray(np.resize(obs_kf, cap).astype(np.int32)),
+        obs_lm=jnp.asarray(np.resize(obs_lm, cap).astype(np.int32)),
+        obs_point=jnp.asarray(np.resize(np.asarray(obs_pt, np.float32), (cap, 3))),
+        obs_valid=jnp.asarray(np.arange(cap) < n),
+    )
+    return problem, gt_poses, gt_lms
+
+
+class TestGradients:
+    def test_accumulated_gradient_matches_jax_grad(self):
+        rng = np.random.default_rng(0)
+        problem, _, _ = _make_problem(rng, w=3, l=8)
+
+        def cost_fn(xi, dx):
+            poses = jax.vmap(se3.retract)(problem.poses, xi)
+            return total_cost(poses, problem.landmarks + dx, problem, 0.0)
+
+        xi0 = jnp.zeros((3, 6))
+        dx0 = jnp.zeros((8, 3))
+        g_xi, g_dx = jax.grad(cost_fn, argnums=(0, 1))(xi0, dx0)
+
+        _, _, _, g_p, g_x = accumulate_normal_blocks(
+            problem.poses, problem.landmarks, problem, 0.0
+        )
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_xi),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_dx),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestSchur:
+    def test_schur_equals_direct_solve(self):
+        rng = np.random.default_rng(1)
+        problem, _, _ = _make_problem(rng, w=3, l=6)
+        b, c, e, g_p, g_x = accumulate_normal_blocks(
+            problem.poses, problem.landmarks, problem, 0.0
+        )
+        damping = 1e-4
+        dp, dx = schur_solve(b, c, e, g_p, g_x, damping, anchor_first=True)
+
+        # dense full-system reference in numpy (poses 1.. free, pose 0 fixed)
+        w, l = 3, 6
+        bb, cc, ee = np.asarray(b), np.asarray(c), np.asarray(e)
+        h = np.zeros((6 * w + 3 * l, 6 * w + 3 * l))
+        g = np.zeros(6 * w + 3 * l)
+        for k in range(w):
+            h[6 * k:6 * k + 6, 6 * k:6 * k + 6] = bb[k] + damping * np.eye(6)
+            g[6 * k:6 * k + 6] = np.asarray(g_p)[k]
+        for j in range(l):
+            o = 6 * w + 3 * j
+            h[o:o + 3, o:o + 3] = cc[j] + (damping + 1e-8) * np.eye(3)
+            g[o:o + 3] = np.asarray(g_x)[j]
+        for k in range(w):
+            for j in range(l):
+                o = 6 * w + 3 * j
+                h[6 * k:6 * k + 6, o:o + 3] = ee[k, j]
+                h[o:o + 3, 6 * k:6 * k + 6] = ee[k, j].T
+        free = np.arange(6, h.shape[0])  # anchor pose 0
+        sol = np.linalg.solve(h[np.ix_(free, free)], -g[free])
+        dp_ref = sol[: 6 * (w - 1)].reshape(w - 1, 6)
+        dx_ref = sol[6 * (w - 1):].reshape(l, 3)
+
+        np.testing.assert_allclose(np.asarray(dp)[0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dp)[1:], dp_ref, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=1e-3, atol=1e-4)
+
+
+class TestSolve:
+    def test_recovers_ground_truth_noiseless(self):
+        rng = np.random.default_rng(2)
+        problem, gt_poses, gt_lms = _make_problem(rng, w=4, l=32)
+        poses, lms, trace = solve_ba(problem, iters=8, damping=1e-6,
+                                     huber_delta=0.0)
+        t = np.asarray(trace)
+        assert t[-1] < 1e-6 * max(t[0], 1.0), f"cost trace {t}"
+        for k in range(4):
+            t_err, r_err = se3.geodesic_distance(
+                jnp.asarray(gt_poses[k]), poses[k]
+            )
+            assert float(t_err) < 1e-3
+            assert float(r_err) < 1e-3
+
+    def test_cost_monotone_under_noise(self):
+        rng = np.random.default_rng(3)
+        problem, _, _ = _make_problem(rng, w=5, l=48, obs_noise=0.05)
+        _, _, trace = solve_ba(problem, iters=6, damping=1e-4, huber_delta=0.5)
+        t = np.asarray(trace)
+        assert np.all(np.diff(t) <= 1e-5), f"cost increased: {t}"
+        assert t[-1] < t[0]
+
+    def test_improves_noisy_poses_vs_ground_truth(self):
+        rng = np.random.default_rng(4)
+        problem, gt_poses, _ = _make_problem(rng, w=5, l=64, pose_noise=0.1,
+                                             obs_noise=0.02)
+        before = [
+            float(se3.geodesic_distance(jnp.asarray(gt_poses[k]), problem.poses[k])[0])
+            for k in range(1, 5)
+        ]
+        poses, _, _ = solve_ba(problem, iters=6, damping=1e-4, huber_delta=0.5)
+        after = [
+            float(se3.geodesic_distance(jnp.asarray(gt_poses[k]), poses[k])[0])
+            for k in range(1, 5)
+        ]
+        assert np.mean(after) < 0.5 * np.mean(before), (before, after)
+
+
+class TestWindowBA:
+    def test_track_linking_and_solve(self):
+        """Three keyframes observing the same landmark set via chained matches."""
+        rng = np.random.default_rng(5)
+        k_kp = 64
+        gt_lms = np.stack(
+            [rng.uniform(-3, 7, k_kp), rng.uniform(-3, 3, k_kp), np.zeros(k_kp)],
+            axis=1,
+        ).astype(np.float32)
+        cfg = BAConfig(window=4, max_landmarks=128, max_obs=512, gn_iters=6)
+        wba = WindowBA(cfg)
+        gt_poses, noisy_poses = [], []
+        for k in range(3):
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.diag([1.0, -1.0, -1.0])
+            pose[:3, 3] = [2.0 * k, 0.0, 8.0]
+            gt_poses.append(pose)
+            noisy = pose.copy()
+            if k > 0:
+                noisy[:3, 3] += rng.normal(0, 0.2, 3).astype(np.float32)
+            noisy_poses.append(noisy)
+            inv = np.linalg.inv(pose)
+            pts = gt_lms @ inv[:3, :3].T + inv[:3, 3]
+            # identity matches: keypoint i in every frame sees landmark i
+            match_idx = np.arange(k_kp)
+            wba.add_keyframe(
+                index=k, points3d=pts, valid3d=np.ones(k_kp, bool),
+                pose=noisy, match_index=match_idx if k > 0 else None,
+                match_valid=np.ones(k_kp, bool) if k > 0 else None,
+            )
+        refined = wba.solve_window()
+        assert refined is not None
+        assert wba.last_stats["landmarks"] == k_kp
+        for k in range(1, 3):
+            before = np.linalg.norm(noisy_poses[k][:3, 3] - gt_poses[k][:3, 3])
+            after = np.linalg.norm(refined[k][:3, 3] - gt_poses[k][:3, 3])
+            assert after < 0.2 * before, (before, after)
+
+    def test_overflow_accounted(self):
+        cfg = BAConfig(window=2, max_landmarks=4, max_obs=6, gn_iters=2)
+        wba = WindowBA(cfg)
+        rng = np.random.default_rng(6)
+        for k in range(2):
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = [k, 0, 5]
+            pts = rng.normal(0, 2, (16, 3)).astype(np.float32)
+            wba.add_keyframe(
+                index=k, points3d=pts, valid3d=np.ones(16, bool), pose=pose,
+                match_index=np.arange(16) if k else None,
+                match_valid=np.ones(16, bool) if k else None,
+            )
+        wba.solve_window()
+        assert wba.last_stats["dropped_landmarks"] > 0
+        assert wba.last_stats["observations"] == 6

@@ -1,0 +1,87 @@
+"""Multi-device sharding on the simulated 8-device CPU mesh (SURVEY.md §4.4):
+the real shard_map code paths, asserted equivalent to the 1-device results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.ba.schur import solve_ba
+from online_3d_reconstruction_tpu.config import StereoConfig
+from online_3d_reconstruction_tpu.geometry.backproject import PointCloud
+from online_3d_reconstruction_tpu.mapping.voxel import voxel_downsample
+from online_3d_reconstruction_tpu.parallel import (
+    batch_disparity,
+    make_mesh,
+    sharded_voxel_downsample,
+    solve_ba_sharded,
+)
+from tests.test_ba import _make_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+class TestShardedBA:
+    def test_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(0)
+        problem, gt_poses, _ = _make_problem(rng, w=4, l=24, obs_noise=0.01)
+        p1, l1, t1 = solve_ba(problem, iters=4, damping=1e-4, huber_delta=0.5)
+        p8, l8, t8 = solve_ba_sharded(problem, mesh8, iters=4, damping=1e-4,
+                                      huber_delta=0.5)
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), rtol=1e-4)
+
+    def test_uneven_observation_count_padded(self, mesh8):
+        rng = np.random.default_rng(1)
+        # 3 kf x 11 lm = 33 obs: not divisible by 8 -> exercises padding
+        problem, _, _ = _make_problem(rng, w=3, l=11)
+        p1, _, _ = solve_ba(problem, iters=3, damping=1e-4, huber_delta=0.0)
+        p8, _, _ = solve_ba_sharded(problem, mesh8, iters=3, damping=1e-4,
+                                    huber_delta=0.0)
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestBatchDisparity:
+    def test_sharded_matches_unsharded(self, mesh8, scene, small_rig):
+        from online_3d_reconstruction_tpu.io.synthetic import nadir_pose
+
+        cfg = StereoConfig(height=192, width=256, max_disparity=16,
+                           num_paths=2, use_pallas=False, speckle_window=0)
+        frames = [
+            scene.render_stereo(nadir_pose(2.0 * i, 0.0, 24.0), small_rig)
+            for i in range(8)
+        ]
+        lefts = jnp.stack([jnp.asarray(f.left) for f in frames])
+        rights = jnp.stack([jnp.asarray(f.right) for f in frames])
+        d_ref, v_ref = batch_disparity(lefts, rights, cfg, mesh=None)
+        d_sh, v_sh = batch_disparity(lefts, rights, cfg, mesh=mesh8)
+        np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(v_sh), np.asarray(v_ref))
+
+
+class TestShardedVoxel:
+    def test_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(2)
+        n = 1024  # divisible by 8
+        cloud = PointCloud(
+            points=jnp.asarray(rng.normal(0, 4, (n, 3)).astype(np.float32)),
+            colors=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+            valid=jnp.asarray(rng.random(n) < 0.9),
+        )
+        ref = voxel_downsample(cloud, voxel_size=1.0, bounds=64.0)
+        out = sharded_voxel_downsample(cloud.points, cloud.colors, cloud.valid,
+                                       mesh8, voxel_size=1.0, bounds=64.0)
+        ref_pts = np.asarray(ref.points)[np.asarray(ref.valid)]
+        out_pts = np.asarray(out.points)[np.asarray(out.valid)]
+        assert len(ref_pts) == len(out_pts)
+        o1 = np.lexsort(ref_pts.T)
+        o2 = np.lexsort(out_pts.T)
+        np.testing.assert_allclose(out_pts[o2], ref_pts[o1], atol=1e-4)

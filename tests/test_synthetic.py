@@ -22,8 +22,11 @@ def test_stereo_photometric_consistency(stereo_frame):
     ok = smooth & np.isfinite(resampled)
     err = np.abs(left - resampled)[ok]
     assert ok.mean() > 0.5
-    # Bilinear resampling of a smooth texture: small but nonzero error.
-    assert np.percentile(err, 95) < 0.05, np.percentile(err, 95)
+    # The albedo now includes a non-band-limited speckle octave (sharp cell
+    # edges), so bilinear resampling aliases at cell borders: the tail is
+    # wider, but the bulk must stay tight.
+    assert np.median(err) < 0.02, np.median(err)
+    assert np.percentile(err, 95) < 0.15, np.percentile(err, 95)
 
 
 def test_gt_disparity_range(stereo_frame, small_rig):
