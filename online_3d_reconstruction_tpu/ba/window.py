@@ -89,6 +89,7 @@ class WindowBA:
         if len(window) < 2:
             return None
         w_count = len(window)
+        w_cap = self.cfg.window  # static pose capacity: one jit compile, ever
 
         # gather observations of the window, count per-landmark occurrences
         lm_count: Dict[int, int] = {}
@@ -107,37 +108,47 @@ class WindowBA:
             lm_order = lm_order[: self.cfg.max_landmarks]
         lm_remap = {lm: i for i, lm in enumerate(lm_order)}
 
-        obs_kf, obs_lm, obs_pt = [], [], []
+        # vectorized observation gather (host cost: O(window * keypoints))
+        remap_table = np.full(self._next_lm or 1, -1, dtype=np.int64)
+        remap_table[np.asarray(lm_order, dtype=np.int64)] = np.arange(len(lm_order))
+        obs_kf_l, obs_lm_l, obs_pt_l = [], [], []
         for k, rec in enumerate(window):
-            kp_idx = np.nonzero(rec.lm_of_kp >= 0)[0]
-            for i in kp_idx:
-                lm = int(rec.lm_of_kp[i])
-                if lm in lm_remap:
-                    obs_kf.append(k)
-                    obs_lm.append(lm_remap[lm])
-                    obs_pt.append(rec.points3d[i])
+            has_lm = rec.lm_of_kp >= 0
+            dense = np.where(has_lm, remap_table[np.clip(rec.lm_of_kp, 0, None)], -1)
+            keep = dense >= 0
+            obs_kf_l.append(np.full(keep.sum(), k, dtype=np.int32))
+            obs_lm_l.append(dense[keep].astype(np.int32))
+            obs_pt_l.append(rec.points3d[keep])
+        obs_kf = np.concatenate(obs_kf_l)
+        obs_lm = np.concatenate(obs_lm_l)
+        obs_pt = np.concatenate(obs_pt_l).astype(np.float32)
         n_obs = len(obs_kf)
         dropped_obs = max(0, n_obs - self.cfg.max_obs)
         n_use = min(n_obs, self.cfg.max_obs)
 
-        poses0 = np.stack([rec.pose for rec in window]).astype(np.float32)
+        # pad poses to the static window capacity (identity poses, no obs):
+        # their Schur blocks are pure damping, update stays exactly zero.
+        poses0 = np.tile(np.eye(4, dtype=np.float32), (w_cap, 1, 1))
+        poses0[:w_count] = np.stack([rec.pose for rec in window]).astype(np.float32)
         obs_kf_a = np.zeros(self.cfg.max_obs, dtype=np.int32)
         obs_lm_a = np.zeros(self.cfg.max_obs, dtype=np.int32)
         obs_pt_a = np.zeros((self.cfg.max_obs, 3), dtype=np.float32)
         obs_ok_a = np.zeros(self.cfg.max_obs, dtype=bool)
         obs_kf_a[:n_use] = obs_kf[:n_use]
         obs_lm_a[:n_use] = obs_lm[:n_use]
-        obs_pt_a[:n_use] = np.asarray(obs_pt[:n_use], dtype=np.float32)
+        obs_pt_a[:n_use] = obs_pt[:n_use]
         obs_ok_a[:n_use] = True
 
         # landmark init: mean of world-lifted observations under current poses
         l_cap = self.cfg.max_landmarks
+        world = (
+            np.einsum("nij,nj->ni", poses0[obs_kf_a[:n_use], :3, :3], obs_pt_a[:n_use])
+            + poses0[obs_kf_a[:n_use], :3, 3]
+        )
         lm_init = np.zeros((l_cap, 3), dtype=np.float32)
         lm_cnt = np.zeros(l_cap, dtype=np.float32)
-        for k, lm, p in zip(obs_kf_a[:n_use], obs_lm_a[:n_use], obs_pt_a[:n_use]):
-            world = poses0[k, :3, :3] @ p + poses0[k, :3, 3]
-            lm_init[lm] += world
-            lm_cnt[lm] += 1.0
+        np.add.at(lm_init, obs_lm_a[:n_use], world)
+        np.add.at(lm_cnt, obs_lm_a[:n_use], 1.0)
         lm_valid = lm_cnt > 0
         lm_init[lm_valid] /= lm_cnt[lm_valid, None]
 
@@ -157,7 +168,7 @@ class WindowBA:
             huber_delta=self.cfg.huber_delta,
             anchor_first=self.cfg.anchor_first,
         )
-        poses_np = np.asarray(poses_ref)
+        poses_np = np.asarray(poses_ref)[:w_count]
         for rec, pose in zip(window, poses_np):
             rec.pose = pose
         self.last_stats = {

@@ -115,6 +115,7 @@ class RuntimeConfig:
     checkpoint_every: int = 0            # keyframes between snapshots (0 = off)
     checkpoint_dir: str = "checkpoints"
     metrics_path: str = ""               # JSONL stage-metrics sink ("" = off)
+    sync_metrics: bool = True            # False: defer VO scalar pulls to finish()
     prefetch_depth: int = 2              # host->device double buffering depth
     profile: bool = False                # jax.profiler trace around stages
 

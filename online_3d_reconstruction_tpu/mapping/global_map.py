@@ -58,7 +58,7 @@ def insert_cloud(gmap: GlobalMap, cloud: PointCloud) -> GlobalMap:
                      cursor=jnp.minimum(start + n, c))
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "bounds"))
+@partial(jax.jit, static_argnames=("voxel_size", "bounds"), donate_argnums=(0,))
 def downsample_map(gmap: GlobalMap, voxel_size: float,
                    bounds: float = 2048.0) -> GlobalMap:
     """Voxel-reduce + compact the pool; cursor moves to the survivor count."""

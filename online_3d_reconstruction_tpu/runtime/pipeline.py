@@ -15,6 +15,7 @@ keyframes, and triggers the amortized map downsample. All device state
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import List, NamedTuple, Optional
@@ -35,7 +36,6 @@ from online_3d_reconstruction_tpu.mapping.global_map import (
     downsample_map,
     insert_cloud,
     map_to_numpy,
-    needs_downsample,
 )
 from online_3d_reconstruction_tpu.odometry.frontend import (
     FrameFeatures,
@@ -80,9 +80,13 @@ def _frame_stage(left, right, color, map_left, map_right, q,
     return disp, feats, cloud
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> GlobalMap:
-    """Transform the camera-frame cloud to world and append to the map pool."""
+    """Transform the camera-frame cloud to world and append to the map pool.
+
+    The map pool is donated: the multi-MB point buffers update in place
+    instead of being copied every frame.
+    """
     world_pts = se3.transform_points(pose, cloud.points)
     return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
 
@@ -97,7 +101,11 @@ class OnlineReconstructor:
         self.map_left = jnp.asarray(rig.map_left)
         self.map_right = jnp.asarray(rig.map_right)
         self.gmap = create_map(config.mapping.map_capacity)
-        self.trajectory: List[np.ndarray] = []
+        self._capacity = config.mapping.map_capacity
+        self._host_cursor = 0
+        self._last_kf_prior = np.eye(4)
+        self._pending_vo: List = []   # deferred (frame, used_vo, count) scalars
+        self.trajectory: List = []    # device or host (4,4) poses
         self.keyframes: List[_Keyframe] = []
         self.frame_idx = 0
         self._frames_since_fuse = 0
@@ -107,16 +115,24 @@ class OnlineReconstructor:
         self._t_start = None
 
     # -- keyframe policy (reference: new keyframe on sufficient motion) -----
-    def _is_keyframe(self, pose: jnp.ndarray) -> bool:
+    def _is_keyframe(self, prior_np: np.ndarray) -> bool:
+        """Decide from the host-side flight-log priors.
+
+        Using the estimated pose would force a device sync every frame just
+        for this bool; the prior's *relative* motion since the last keyframe
+        is equally good for a motion-threshold policy and is already on host.
+        """
         if not self.keyframes:
             return True
-        last = self.keyframes[-1]
-        if self.frame_idx - last.index < self.cfg.runtime.keyframe_min_gap:
+        if self.frame_idx - self.keyframes[-1].index < self.cfg.runtime.keyframe_min_gap:
             return False
-        t_err, r_err = se3.geodesic_distance(last.pose, pose)
-        return bool(
-            (t_err > self.cfg.runtime.keyframe_translation)
-            | (r_err > self.cfg.runtime.keyframe_rotation)
+        rel = np.linalg.inv(self._last_kf_prior) @ prior_np
+        t_err = float(np.linalg.norm(rel[:3, 3]))
+        cos_t = np.clip((np.trace(rel[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        r_err = float(np.arccos(cos_t))
+        return (
+            t_err > self.cfg.runtime.keyframe_translation
+            or r_err > self.cfg.runtime.keyframe_rotation
         )
 
     def process(self, frame: FrameData) -> dict:
@@ -134,8 +150,8 @@ class OnlineReconstructor:
                 cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             )
 
-        used_vo = False
-        inliers = 0
+        used_vo: object = False
+        inliers: object = 0
         matches = None
         if not self.keyframes:
             pose = prior  # first frame anchors the world to the prior
@@ -149,53 +165,78 @@ class OnlineReconstructor:
                     cfg.matching, cfg.odometry,
                 )
                 pose = se3.compose(kf.pose, rel)
-                used_vo = bool(used_vo_j)
-                inliers = int(count)
+                if cfg.runtime.sync_metrics:
+                    used_vo = bool(used_vo_j)   # forces a device sync
+                    inliers = int(count)
+                else:
+                    self._pending_vo.append((self.frame_idx, used_vo_j, count))
+                    used_vo, inliers = None, None
 
-        self.trajectory.append(np.asarray(pose))
+        self.trajectory.append(pose)  # device array; fetched in bulk at finish
 
-        is_kf = self._is_keyframe(pose)
+        is_kf = self._is_keyframe(frame.prior_pose)
         if is_kf:
+            self._last_kf_prior = np.asarray(frame.prior_pose, dtype=np.float64)
             self.keyframes.append(
                 _Keyframe(index=self.frame_idx, features=feats, pose=pose,
                           prior_pose=prior)
             )
             if self._ba is not None:
                 with timer.stage("ba"):
+                    # one bulk device->host pull for the track bookkeeping
+                    pts_np, v3d_np, pose_np, m_idx, m_ok = jax.device_get(
+                        (feats.points3d, feats.valid3d, pose,
+                         matches.index if matches is not None else (),
+                         matches.valid if matches is not None else ())
+                    )
                     self._ba.add_keyframe(
                         index=self.frame_idx,
-                        points3d=np.asarray(feats.points3d),
-                        valid3d=np.asarray(feats.valid3d),
-                        pose=np.asarray(pose),
-                        match_index=(np.asarray(matches.index)
-                                     if matches is not None else None),
-                        match_valid=(np.asarray(matches.valid)
-                                     if matches is not None else None),
+                        points3d=pts_np,
+                        valid3d=v3d_np,
+                        pose=pose_np,
+                        match_index=m_idx if matches is not None else None,
+                        match_valid=m_ok if matches is not None else None,
                     )
                     self._run_window_ba()
 
         with timer.stage("fusion"):
             self._frames_since_fuse += 1
+            frame_points = cloud.points.shape[0]
             if self._frames_since_fuse >= cfg.mapping.fuse_every:
                 self._frames_since_fuse = 0
                 self.gmap = _fusion_stage(self.gmap, cloud, pose)
-            frame_points = cloud.points.shape[0]
-            if (
-                bool(needs_downsample(self.gmap, frame_points))
-                or (self.frame_idx + 1) % cfg.mapping.downsample_every == 0
-            ):
+                self._host_cursor += frame_points  # upper bound, no device sync
+            periodic = (
+                cfg.mapping.downsample_every > 0
+                and (self.frame_idx + 1) % cfg.mapping.downsample_every == 0
+            )
+            if periodic or self._host_cursor + frame_points >= self._capacity:
                 self.gmap = downsample_map(
                     self.gmap, cfg.mapping.voxel_size, cfg.mapping.bounds
+                )
+                self._host_cursor = int(self.gmap.cursor)  # one sync per flush
+
+        if (
+            cfg.runtime.checkpoint_every > 0
+            and is_kf
+            and len(self.keyframes) % cfg.runtime.checkpoint_every == 0
+        ):
+            from online_3d_reconstruction_tpu.runtime.checkpoint import save_checkpoint
+
+            with timer.stage("checkpoint"):
+                save_checkpoint(
+                    self, os.path.join(cfg.runtime.checkpoint_dir, "snapshot.npz")
                 )
 
         record = {
             "frame": self.frame_idx,
             "keyframe": is_kf,
-            "used_vo": used_vo,
-            "vo_inliers": inliers,
-            "map_points": int(self.gmap.cursor),
+            "map_points": self._host_cursor,
             **{f"t_{k}_ms": v * 1e3 for k, v in timer.times.items()},
         }
+        if used_vo is not None:
+            record["used_vo"] = used_vo
+            record["vo_inliers"] = inliers
         self.metrics.log(record)
         self.frame_idx += 1
         return record
@@ -223,6 +264,14 @@ class OnlineReconstructor:
             self.gmap, self.cfg.mapping.voxel_size, self.cfg.mapping.bounds
         )
         pts, cols = map_to_numpy(self.gmap)
+        if self._pending_vo:
+            # deferred VO scalars: one bulk transfer, patch the frame records
+            vals = jax.device_get([(u, c) for _, u, c in self._pending_vo])
+            for (idx, _, _), (u, c) in zip(self._pending_vo, vals):
+                if idx < len(self.metrics.records):
+                    self.metrics.records[idx]["used_vo"] = bool(u)
+                    self.metrics.records[idx]["vo_inliers"] = int(c)
+            self._pending_vo = []
         summary = self.metrics.summary()
         summary["frames"] = self.frame_idx
         summary["keyframes"] = len(self.keyframes)
@@ -230,7 +279,8 @@ class OnlineReconstructor:
             summary["frames_per_s"] = self.frame_idx / elapsed
         self.metrics.close()
         return ReconstructionResult(
-            trajectory=np.asarray(self.trajectory),
+            trajectory=np.stack([np.asarray(p) for p in self.trajectory])
+            if self.trajectory else np.zeros((0, 4, 4), np.float32),
             keyframe_indices=np.asarray([k.index for k in self.keyframes]),
             map_points=pts,
             map_colors=cols,

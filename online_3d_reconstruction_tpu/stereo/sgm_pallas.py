@@ -2,19 +2,22 @@
 
 The north star mandates "cost-volume SGM -> Pallas scan kernel" (SURVEY.md
 §2.2). The recurrence is sequential along the scan direction, but each step
-is an elementwise min-tree over an (L, D) line — pure VPU work. The lax.scan
-fallback in ``sgm.py`` re-materializes the carry through XLA's while-loop
-state each step; this kernel instead keeps the whole (TILE, W, D) cost block
-VMEM-resident and runs the forward *and* backward directional scans in one
-kernel invocation, writing their sum — so the cost volume is read from HBM
-once and the aggregated output written once per direction-pair (2x fewer HBM
-round trips than two separate scans, and no per-step loop overhead).
+is an elementwise min-tree over an (L, D) line — pure VPU work. This kernel
+keeps a (S, TILE_L, D) cost block VMEM-resident and runs the forward *and*
+backward directional scans in one invocation, writing their sum — the cost
+volume is read from HBM once and the output written once per direction-pair.
 
-Direction mapping (all four/eight paths reuse this single kernel):
-- horizontal pair: scan along axis 1 of (H, W, D)
-- vertical pair:   same kernel on the (W, H, D) transpose
-- diagonal pairs:  same kernel on the skewed volume (sgm._skew) transposed —
-  a sheared image turns diagonals into columns.
+Layout rule that makes or breaks this kernel: the scan axis must be the
+LEADING block axis so each step reads ``cost_ref[x]`` = one contiguous
+(TILE_L, D) sublanes-x-lanes tile. With the scan axis in the middle
+(``cost_ref[:, x, :]``) every step is a strided single-sublane gather and the
+kernel runs ~1000x off roofline (measured on v5e).
+
+Direction mapping (all 4/8 paths reuse this one kernel):
+- vertical pair:   cost (H, W, D) scans along H directly;
+- horizontal pair: scan the (W, H, D) transpose;
+- diagonal pairs:  scan the skewed volume (sgm._skew) along H — a sheared
+  image turns diagonals into columns.
 """
 
 from __future__ import annotations
@@ -27,15 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e9  # python float: jnp constants would be captured consts in the kernel
-# VMEM budget for the (in + out) blocks. The chip's scoped-vmem limit is
-# 16 MB and Mosaic double-buffers both blocks across grid steps, so the
-# single-copy budget must stay under ~1/4 of that (verified on TPU v5e: a
-# 10 MB single-copy budget OOMs at 32 MB scoped allocation).
+# Per-buffer VMEM budget. The scoped limit is ~16 MB and Mosaic
+# double-buffers both grid blocks, so keep in+out under ~4 MB each.
 _VMEM_BYTES = 4 * 1024 * 1024
 
 
 def _step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """One SGM step on an (TA, D) line (identical math to sgm._sgm_step)."""
+    """One SGM step on an (L, D) line (identical math to sgm._sgm_step)."""
     min_prev = jnp.min(carry, axis=-1, keepdims=True)
     edge = jnp.full_like(carry[:, :1], _BIG)
     d_minus = jnp.concatenate([edge, carry[:, :-1]], axis=1) + p1
@@ -45,56 +46,56 @@ def _step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float) -> 
 
 
 def _scan_pair_kernel(cost_ref, out_ref, *, p1: float, p2: float):
-    """Forward + backward scan along axis 1 of a (TA, B, D) block."""
-    ta, b, d = cost_ref.shape
-    carry0 = jnp.zeros((ta, d), dtype=jnp.float32)
+    """Forward + backward scan along axis 0 of an (S, TL, D) block."""
+    s, tl, d = cost_ref.shape
+    carry0 = jnp.zeros((tl, d), dtype=jnp.float32)
 
     def fwd(x, carry):
-        new = _step(carry, cost_ref[:, x, :], p1, p2)
-        out_ref[:, x, :] = new
+        new = _step(carry, cost_ref[x], p1, p2)
+        out_ref[x] = new
         return new
 
-    jax.lax.fori_loop(0, b, fwd, carry0)
+    jax.lax.fori_loop(0, s, fwd, carry0)
 
     def bwd(i, carry):
-        x = b - 1 - i
-        new = _step(carry, cost_ref[:, x, :], p1, p2)
-        out_ref[:, x, :] += new
+        x = s - 1 - i
+        new = _step(carry, cost_ref[x], p1, p2)
+        out_ref[x] += new
         return new
 
-    jax.lax.fori_loop(0, b, bwd, carry0)
+    jax.lax.fori_loop(0, s, bwd, carry0)
 
 
-def _pick_tile(a: int, b: int, d: int) -> int:
-    """Largest row-tile whose in+out blocks fit the VMEM budget (>=8 rows)."""
-    per_row = 2 * b * d * 4  # in + out, float32
-    tile = max(8, _VMEM_BYTES // max(per_row, 1))
-    tile = 1 << (tile.bit_length() - 1)  # round down to power of two
-    return min(tile, max(a, 1))
+def _pick_tile(s: int, l: int, d: int) -> int:
+    """Largest line-tile whose in+out blocks fit the VMEM budget (>=8)."""
+    per_line = 2 * s * d * 4  # in + out, float32, full scan extent resident
+    tile = max(8, _VMEM_BYTES // max(per_line, 1))
+    tile = 1 << (tile.bit_length() - 1)  # round down to a power of two
+    return min(tile, max(l, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "interpret"))
 def scan_pair(cost: jnp.ndarray, p1: float, p2: float,
               interpret: bool = False) -> jnp.ndarray:
-    """Sum of forward+backward SGM aggregation along axis 1 of (A, B, D)."""
-    a, b, d = cost.shape
-    tile = _pick_tile(a, b, d)
-    pad = (-a) % tile
+    """Sum of forward+backward SGM aggregation along axis 0 of (S, L, D)."""
+    s, l, d = cost.shape
+    tile = _pick_tile(s, l, d)
+    pad = (-l) % tile
     if pad:
-        cost = jnp.pad(cost, ((0, pad), (0, 0), (0, 0)))
-    a_pad = a + pad
+        cost = jnp.pad(cost, ((0, 0), (0, pad), (0, 0)))
+    l_pad = l + pad
 
     out = pl.pallas_call(
         functools.partial(_scan_pair_kernel, p1=float(p1), p2=float(p2)),
-        out_shape=jax.ShapeDtypeStruct((a_pad, b, d), jnp.float32),
-        grid=(a_pad // tile,),
+        out_shape=jax.ShapeDtypeStruct((s, l_pad, d), jnp.float32),
+        grid=(l_pad // tile,),
         in_specs=[
-            pl.BlockSpec((tile, b, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, b, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(cost.astype(jnp.float32))
-    return out[:a]
+    return out[:, :l]
 
 
 def aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4,
@@ -107,15 +108,15 @@ def aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4
     h, w, _ = cost.shape
     cost = cost.astype(jnp.float32)
 
-    # Horizontal pair: rows are lines; scan along W. Block rows of H.
-    total = scan_pair(cost, p1, p2, interpret=interpret)
+    # Horizontal pair: scan along W of the (W, H, D) transpose.
+    agg_h = scan_pair(jnp.swapaxes(cost, 0, 1), p1, p2, interpret=interpret)
+    total = jnp.swapaxes(agg_h, 0, 1)
     if num_paths >= 4:
-        # Vertical pair: scan along H of the transpose, lines are columns.
-        agg_v = scan_pair(jnp.swapaxes(cost, 0, 1), p1, p2, interpret=interpret)
-        total = total + jnp.swapaxes(agg_v, 0, 1)
+        # Vertical pair: (H, W, D) scans along H directly.
+        total = total + scan_pair(cost, p1, p2, interpret=interpret)
     if num_paths == 8:
         for sign in (1, -1):
-            skewed = jnp.swapaxes(_skew(cost, sign), 0, 1)  # (W+H-1, H, D)
-            agg = jnp.swapaxes(scan_pair(skewed, p1, p2, interpret=interpret), 0, 1)
+            skewed = _skew(cost, sign)  # (H, W+H-1, D); diagonals -> columns
+            agg = scan_pair(skewed, p1, p2, interpret=interpret)
             total = total + _deskew(agg, sign, w)
     return total

@@ -1,0 +1,152 @@
+"""Per-kernel roofline accounting for the mandated TPU kernels.
+
+The north star requires "per-chip roofline analysis of the disparity and BA
+kernels" (BASELINE.json:5, SURVEY.md §6). For each kernel this module pairs
+an analytic work model (bytes moved, FLOPs/int-ops) with a measured runtime
+and reports achieved vs peak bandwidth/compute and which roof binds.
+
+Peak numbers are per TPU v5e chip (the hardware in this environment):
+HBM ~819 GB/s, MXU ~197 TFLOP/s bf16 (~49 TFLOP/s fp32), VPU vector ops
+~3.9 Tops/s fp32 (8x128 lanes x 4 ALUs x ~940 MHz).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+TPU_V5E_PEAKS = {
+    "hbm_gbps": 819.0,
+    "mxu_tflops_bf16": 197.0,
+    "mxu_tflops_f32": 49.0,
+    "vpu_tops_f32": 3.9,
+}
+
+
+@dataclass
+class RooflinePoint:
+    name: str
+    bytes_accessed: float
+    flops: float                  # MXU-eligible FLOPs
+    vector_ops: float             # VPU elementwise/min ops
+    seconds: float
+    notes: str = ""
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return (self.flops + self.vector_ops) / max(self.bytes_accessed, 1.0)
+
+    def report(self, peaks: Optional[Dict[str, float]] = None) -> Dict:
+        peaks = peaks or TPU_V5E_PEAKS
+        bw = self.bytes_accessed / self.seconds / 1e9
+        mxu = self.flops / self.seconds / 1e12
+        vpu = self.vector_ops / self.seconds / 1e12
+        bw_frac = bw / peaks["hbm_gbps"]
+        mxu_frac = mxu / peaks["mxu_tflops_bf16"]
+        vpu_frac = vpu / peaks["vpu_tops_f32"]
+        bound = max(
+            ("hbm", bw_frac), ("mxu", mxu_frac), ("vpu", vpu_frac),
+            key=lambda kv: kv[1],
+        )
+        return {
+            "kernel": self.name,
+            "time_ms": self.seconds * 1e3,
+            "bytes": self.bytes_accessed,
+            "achieved_gbps": bw,
+            "achieved_mxu_tflops": mxu,
+            "achieved_vpu_tops": vpu,
+            "pct_hbm_peak": 100.0 * bw_frac,
+            "pct_mxu_peak": 100.0 * mxu_frac,
+            "pct_vpu_peak": 100.0 * vpu_frac,
+            "binding_roof": bound[0],
+            "pct_of_binding_roof": 100.0 * bound[1],
+            "arithmetic_intensity": self.arithmetic_intensity,
+            "notes": self.notes,
+        }
+
+
+def measure(fn: Callable, args, n: int = 5) -> float:
+    """Median wall-clock of fn(*args) with full blocking (post-warmup)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+# --------------------------------------------------------------------------
+# Analytic work models for the mandated kernels
+# --------------------------------------------------------------------------
+
+def sgm_aggregation_model(h: int, w: int, d: int, num_paths: int,
+                          seconds: float) -> RooflinePoint:
+    """SGM path aggregation (Pallas kernel, stereo/sgm_pallas.py).
+
+    Memory: each direction-pair kernel reads the cost volume once and
+    writes the pair-sum once; pairs = num_paths/2 (diagonals read the
+    skewed volume, ~(w+h)/w larger). Compute: per cell per direction ~10
+    VPU ops (3 shifted adds, 5 mins, 1 sub, 1 add) + a D-wide min
+    reduction amortized to ~1 op/cell.
+    """
+    cells = h * w * d
+    pairs = num_paths // 2
+    skew_factor = 1.0 + (num_paths == 8) * ((w + h) / w - 1.0) * 0.5
+    bytes_accessed = pairs * 2 * cells * 4 * skew_factor
+    vector_ops = num_paths * cells * 11
+    return RooflinePoint(
+        name=f"sgm_aggregation_{num_paths}path_{h}x{w}x{d}",
+        bytes_accessed=bytes_accessed, flops=0.0, vector_ops=vector_ops,
+        seconds=seconds,
+        notes="sequential scan over lines; VPU min-tree per cell",
+    )
+
+
+def matching_model(ka: int, kb: int, bits: int, seconds: float) -> RooflinePoint:
+    """Descriptor matching as bipolar matmul (features/match.py)."""
+    flops = 2.0 * ka * kb * bits
+    bytes_accessed = (ka * bits + kb * bits) * 2 + ka * kb * 4
+    return RooflinePoint(
+        name=f"hamming_matmul_{ka}x{kb}x{bits}",
+        bytes_accessed=bytes_accessed, flops=flops, vector_ops=ka * kb * 4,
+        seconds=seconds, notes="MXU bf16 matmul + top-k",
+    )
+
+
+def ba_schur_model(w_kf: int, l_lm: int, n_obs: int, gn_iters: int,
+                   seconds: float) -> RooflinePoint:
+    """Dense-block Schur GN solve (ba/schur.py)."""
+    per_iter_flops = (
+        n_obs * (2 * 18 * 6 + 2 * 9 * 3 + 2 * 18 * 3 + 18 + 9)  # JtJ blocks
+        + l_lm * 40                                # 3x3 inverses
+        + w_kf * l_lm * (2 * 18 * 3 + 2 * 18 * 6 * w_kf / max(w_kf, 1))
+        + w_kf * l_lm * 6 * 3 * 6 * w_kf * 2       # S coupling einsum
+        + (6 * w_kf) ** 3 / 3                      # Cholesky
+    )
+    flops = gn_iters * per_iter_flops
+    bytes_accessed = gn_iters * (
+        n_obs * (4 * 3 * 3 + 4 * 2) + w_kf * l_lm * 18 * 4 * 3 + l_lm * 9 * 4 * 2
+    )
+    return RooflinePoint(
+        name=f"ba_schur_w{w_kf}_l{l_lm}_n{n_obs}_it{gn_iters}",
+        bytes_accessed=bytes_accessed, flops=flops, vector_ops=0.0,
+        seconds=seconds, notes="dense-block Schur: einsum assembly + Cholesky",
+    )
+
+
+def voxel_model(n_points: int, seconds: float) -> RooflinePoint:
+    """Sort + segment-reduce voxel filter (mapping/voxel.py)."""
+    log_n = max(1.0, np.log2(max(n_points, 2)))
+    bytes_accessed = n_points * 4 * (2 * log_n * 0.5 + 10)
+    return RooflinePoint(
+        name=f"voxel_downsample_{n_points}",
+        bytes_accessed=bytes_accessed, flops=0.0,
+        vector_ops=n_points * log_n * 4,
+        seconds=seconds, notes="two stable sorts dominate (bitonic on TPU)",
+    )
