@@ -58,6 +58,8 @@ def _parse_args(argv=None):
     out.add_argument("--output", default="out", help="output directory")
     out.add_argument("--ply", action="store_true", default=True, help="write map.ply")
     out.add_argument("--pcd", action="store_true", help="also write map.pcd")
+    out.add_argument("--viewer", action="store_true",
+                     help="write a standalone interactive viewer.html")
     out.add_argument("--metrics", action="store_true", help="write metrics.jsonl")
     out.add_argument("--quiet", action="store_true", help="suppress per-frame prints")
 
@@ -194,6 +196,11 @@ def main(argv=None) -> int:
     if args.pcd:
         save_pcd(os.path.join(args.output, "map.pcd"), result.map_points,
                  result.map_colors)
+    if args.viewer:
+        from online_3d_reconstruction_tpu.io.viewer import export_html
+
+        export_html(os.path.join(args.output, "viewer.html"), result.map_points,
+                    result.map_colors, result.trajectory)
     save_trajectory_tum(os.path.join(args.output, "trajectory.tum"),
                         result.trajectory)
     with open(os.path.join(args.output, "summary.json"), "w") as f:

@@ -191,12 +191,12 @@ class ImageFolderSequence:
         self._left = sorted(
             os.path.join(self.left_dir, f)
             for f in os.listdir(self.left_dir)
-            if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy", ".pgm", ".ppm"))
         )
         self._right = sorted(
             os.path.join(self.right_dir, f)
             for f in os.listdir(self.right_dir)
-            if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy"))
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".npy", ".pgm", ".ppm"))
         )
         if len(self._left) != len(self._right):
             raise ValueError(
@@ -215,6 +215,14 @@ class ImageFolderSequence:
 
     @staticmethod
     def _load_image(path: str) -> np.ndarray:
+        # native C++ decoder first (npy/pgm/ppm; SURVEY.md C2's cv::imread role)
+        from online_3d_reconstruction_tpu.io import native_loader
+
+        if native_loader.available() and path.endswith((".npy", ".pgm", ".ppm")):
+            img = native_loader.read_image(path)
+            if img.dtype == np.uint8:
+                return img.astype(np.float32) / 255.0
+            return img.astype(np.float32)
         if path.endswith(".npy"):
             return np.load(path).astype(np.float32)
         import cv2

@@ -292,8 +292,21 @@ def reconstruct(dataset, config: PipelineConfig, rig: RectifiedRig) -> Reconstru
     """One-call API: iterate a dataset through the online loop.
 
     The L7 entry point (SURVEY.md §3.6): ``o3r.reconstruct(dataset, config)``.
+    Host ingest is prefetched ``runtime.prefetch_depth`` frames ahead (P5)
+    and the run is optionally wrapped in a jax.profiler trace.
     """
+    from online_3d_reconstruction_tpu.runtime.prefetch import prefetch
+
     engine = OnlineReconstructor(config, rig)
-    for frame in dataset:
-        engine.process(frame)
+    trace_dir = None
+    if config.runtime.profile:
+        trace_dir = os.path.join(config.runtime.checkpoint_dir, "profile")
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+    try:
+        for frame in prefetch(dataset, config.runtime.prefetch_depth):
+            engine.process(frame)
+    finally:
+        if trace_dir is not None:
+            jax.profiler.stop_trace()
     return engine.finish()

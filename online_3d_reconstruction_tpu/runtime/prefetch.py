@@ -1,0 +1,54 @@
+"""Host-side frame prefetching — stage pipelining (P5, SURVEY.md §2.3).
+
+The reference reads each frame synchronously inside its main loop; the TPU
+loop must not stall on disk IO / rendering, so a background thread (or the
+native C++ loader, io/native_loader.py) loads ``depth`` frames ahead while
+the device crunches the current one. With the pipeline's sync-free steady
+state, host ingest of frame i+1 overlaps device compute of frame i and map
+merge of frame i-1.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+_SENTINEL = object()
+
+
+class PrefetchIterator:
+    """Wrap any frame iterable with an N-deep background prefetch queue."""
+
+    def __init__(self, source: Iterable, depth: int = 2):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(source,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, source):
+        try:
+            for item in source:
+                self._queue.put(item)
+        except BaseException as e:  # surface loader errors on the consumer side
+            self._error = e
+        finally:
+            self._queue.put(_SENTINEL)
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._queue.get()
+            if item is _SENTINEL:
+                if self._error is not None:
+                    raise self._error
+                return
+            yield item
+
+
+def prefetch(source: Iterable, depth: int = 2) -> Iterable:
+    """Convenience: ``for frame in prefetch(dataset, depth=2): ...``"""
+    if depth <= 0:
+        return source
+    return PrefetchIterator(source, depth)
