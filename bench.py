@@ -32,6 +32,55 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 REFERENCE_PROXY_FPS = 10.0
 
 
+def _kernel_benchmarks() -> dict:
+    """Roofline-instrumented microbenches of the mandated kernels
+    (BASELINE.json:5: disparity + BA rooflines, BA iters/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from online_3d_reconstruction_tpu.ba.schur import solve_ba
+    from online_3d_reconstruction_tpu.features.match import match_descriptors
+    from online_3d_reconstruction_tpu.stereo.sgm_pallas import aggregate_pallas
+    from online_3d_reconstruction_tpu.utils import roofline
+    from online_3d_reconstruction_tpu.ba.testing import make_synthetic_bundle
+
+    rng = np.random.default_rng(0)
+    out = {}
+    on_tpu = jax.default_backend() == "tpu"
+
+    # SGM aggregation (the #1 roofline target)
+    h, w, d = 384, 512, 64
+    cost = jnp.asarray(rng.integers(0, 24, (h, w, d)).astype(np.float32))
+    if on_tpu:
+        sec = roofline.measure(
+            lambda c: aggregate_pallas(c, 8.0, 32.0, 8), (cost,)
+        )
+        out["sgm_aggregation"] = roofline.sgm_aggregation_model(h, w, d, 8, sec).report()
+
+    # descriptor matching matmul
+    ka = kb = 512
+    desc_a = jnp.asarray(rng.integers(0, 2**32, (ka, 8), dtype=np.uint32))
+    desc_b = jnp.asarray(rng.integers(0, 2**32, (kb, 8), dtype=np.uint32))
+    va = jnp.ones(ka, bool)
+    sec = roofline.measure(
+        lambda a, b: match_descriptors(a, b, va, va), (desc_a, desc_b)
+    )
+    out["matching"] = roofline.matching_model(ka, kb, 256, sec).report()
+
+    # BA: dense-Schur GN iterations/s
+    problem, _, _ = make_synthetic_bundle(np.random.default_rng(1), w=8, l=256,
+                                  obs_noise=0.02, n_cap=2048)
+    gn_iters = 5
+    sec = roofline.measure(
+        lambda p: solve_ba(p, iters=gn_iters, damping=1e-4, huber_delta=0.5),
+        (problem,), n=3,
+    )
+    rep = roofline.ba_schur_model(8, 256, 2048, gn_iters, sec).report()
+    rep["ba_iters_per_s"] = gn_iters / sec
+    out["ba_schur"] = rep
+    return out
+
+
 def main() -> None:
     import jax
 
@@ -96,7 +145,10 @@ def main() -> None:
     gt = np.stack([f.gt_pose for f in frames])
     ate = ate_rmse(result.trajectory, gt)
 
+    kernels = _kernel_benchmarks()
+
     detail = {
+        "kernels": kernels,
         "backend": backend,
         "frames_timed": n_timed,
         "elapsed_s": elapsed,

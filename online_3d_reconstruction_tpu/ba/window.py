@@ -32,10 +32,16 @@ class _KfRecord:
 
 
 class WindowBA:
-    """Track table + fixed-capacity window solves."""
+    """Track table + fixed-capacity window solves.
 
-    def __init__(self, config: BAConfig):
+    ``solver`` defaults to the single-device dense-Schur solve; pass
+    ``functools.partial(parallel.solve_ba_sharded, mesh=mesh)`` (keyword-
+    compatible signature) to run the observation-sharded multi-device solve.
+    """
+
+    def __init__(self, config: BAConfig, solver=None):
         self.cfg = config
+        self.solver = solver or solve_ba
         self.keyframes: List[_KfRecord] = []
         self._next_lm = 0
         self.last_stats: Dict = {}
@@ -161,7 +167,7 @@ class WindowBA:
             obs_point=jnp.asarray(obs_pt_a),
             obs_valid=jnp.asarray(obs_ok_a),
         )
-        poses_ref, _, cost_trace = solve_ba(
+        poses_ref, _, cost_trace = self.solver(
             problem,
             iters=self.cfg.gn_iters,
             damping=self.cfg.damping,

@@ -135,6 +135,15 @@ class OnlineReconstructor:
             or r_err > self.cfg.runtime.keyframe_rotation
         )
 
+    def _compute_frame(self, left, right, color):
+        """The per-frame device stage; DistributedReconstructor overrides
+        this with the mesh-sharded variant."""
+        cfg = self.cfg
+        return _frame_stage(
+            left, right, color, self.map_left, self.map_right, self.q,
+            cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+        )
+
     def process(self, frame: FrameData) -> dict:
         """Run one frame through the full pipeline; returns frame metrics."""
         if self._t_start is None:
@@ -144,10 +153,9 @@ class OnlineReconstructor:
         prior = jnp.asarray(frame.prior_pose, dtype=jnp.float32)
 
         with timer.stage("frame_compute"):
-            disp, feats, cloud = _frame_stage(
+            disp, feats, cloud = self._compute_frame(
                 jnp.asarray(frame.left), jnp.asarray(frame.right),
-                jnp.asarray(frame.color), self.map_left, self.map_right, self.q,
-                cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+                jnp.asarray(frame.color),
             )
 
         used_vo: object = False

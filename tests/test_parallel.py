@@ -85,3 +85,42 @@ class TestShardedVoxel:
         o1 = np.lexsort(ref_pts.T)
         o2 = np.lexsort(out_pts.T)
         np.testing.assert_allclose(out_pts[o2], ref_pts[o1], atol=1e-4)
+
+
+class TestShardedSGM:
+    def test_row_slab_matches_monolithic(self, mesh8, scene, small_rig):
+        from online_3d_reconstruction_tpu.io.synthetic import nadir_pose
+        from online_3d_reconstruction_tpu.parallel.sgm_sharded import sharded_disparity
+        from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
+
+        cfg = StereoConfig(height=192, width=256, max_disparity=32,
+                           num_paths=8, use_pallas=False)
+        f = scene.render_stereo(nadir_pose(0.0, 0.0, 24.0), small_rig)
+        left = jnp.asarray(f.left)
+        right = jnp.asarray(f.right)
+        d_ref, v_ref = sgm_disparity(left, right, cfg)
+        d_sh, v_sh = sharded_disparity(left, right, cfg, mesh8, halo=16)
+
+        ref = np.asarray(d_ref)
+        sh = np.asarray(d_sh)
+        both = np.asarray(v_ref) & np.asarray(v_sh)
+        # halo truncation only perturbs pixels whose winning path crossed a
+        # slab boundary more than `halo` rows away; this test geometry is
+        # extreme (24-row slabs) — exact-match is ~97.7%, within-1px ~always
+        exact = np.abs(ref[both] - sh[both]) < 0.01
+        close = np.abs(ref[both] - sh[both]) <= 1.0
+        assert both.mean() > 0.5
+        assert exact.mean() > 0.95, f"exact agreement {exact.mean():.4f}"
+        assert close.mean() > 0.995, f"1px agreement {close.mean():.4f}"
+
+    def test_rejects_bad_geometry(self, mesh8, scene, small_rig):
+        from online_3d_reconstruction_tpu.parallel.sgm_sharded import sharded_disparity
+
+        cfg = StereoConfig(height=192, width=256, max_disparity=16,
+                           num_paths=2, use_pallas=False)
+        with pytest.raises(ValueError):
+            sharded_disparity(jnp.zeros((190, 256)), jnp.zeros((190, 256)),
+                              cfg, mesh8)  # 190 % 8 != 0
+        with pytest.raises(ValueError):
+            sharded_disparity(jnp.zeros((192, 256)), jnp.zeros((192, 256)),
+                              cfg, mesh8, halo=32)  # slab 24 <= halo 32
