@@ -118,6 +118,7 @@ class RuntimeConfig:
     sync_metrics: bool = True            # False: defer VO scalar pulls to finish()
     prefetch_depth: int = 2              # host->device double buffering depth
     profile: bool = False                # jax.profiler trace around stages
+    debug_nans: bool = False             # jax_debug_nans (sanitizer analog, §5)
 
 
 @dataclass(frozen=True)

@@ -106,6 +106,10 @@ def odometry_step(
 
     Returns (rel (4,4) prev<-curr, used_vo (), inlier_count (), matches).
     """
+    return _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg)
+
+
+def _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg):
     matches = match_descriptors(
         curr.keypoints.descriptors,
         prev.keypoints.descriptors,
@@ -135,3 +139,32 @@ def compose_world_pose(pose_prev: jnp.ndarray, rel: jnp.ndarray) -> jnp.ndarray:
     """World pose of the current frame from the previous world pose and the
     (prev-camera <- curr-camera) relative transform."""
     return se3.compose(pose_prev, rel)
+
+
+@partial(jax.jit, static_argnames=("match_cfg", "odo_cfg"))
+def tracking_step(
+    curr: FrameFeatures,
+    prev: FrameFeatures,
+    kf_pose: jnp.ndarray,
+    kf_prior: jnp.ndarray,
+    prior: jnp.ndarray,
+    key: jax.Array,
+    frame_idx: jnp.ndarray,
+    match_cfg: MatchConfig,
+    odo_cfg: OdometryConfig,
+):
+    """The whole per-frame tracking update as ONE dispatch.
+
+    Fuses the prior-relative computation inv(kf_prior) @ prior, the RNG
+    fold-in, the VO step, and the world-pose composition kf_pose @ rel —
+    the online loop's host side stays dispatch-free between stages.
+
+    Returns (pose (4,4), used_vo (), inliers (), matches).
+    """
+    prior_rel = se3.compose(se3.inverse(kf_prior), prior)
+    sub = jax.random.fold_in(key, frame_idx)
+    rel, used_vo, count, matches = _odometry_core(
+        curr, prev, prior_rel, sub, match_cfg, odo_cfg
+    )
+    pose = se3.compose(kf_pose, rel)
+    return pose, used_vo, count, matches

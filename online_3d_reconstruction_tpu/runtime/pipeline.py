@@ -40,7 +40,7 @@ from online_3d_reconstruction_tpu.mapping.global_map import (
 from online_3d_reconstruction_tpu.odometry.frontend import (
     FrameFeatures,
     extract_frame_features,
-    odometry_step,
+    tracking_step,
 )
 from online_3d_reconstruction_tpu.stereo.rectify import rectify_pair, remap_bilinear
 from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
@@ -97,6 +97,10 @@ class OnlineReconstructor:
     def __init__(self, config: PipelineConfig, rig: RectifiedRig):
         self.cfg = config
         self.rig = rig
+        if config.runtime.debug_nans:
+            # the functional-model "sanitizer" (SURVEY.md §5): trap NaNs at
+            # the op that produced them instead of reading garbage poses
+            jax.config.update("jax_debug_nans", True)
         self.q = jnp.asarray(rig.q, dtype=jnp.float32)
         self.map_left = jnp.asarray(rig.map_left)
         self.map_right = jnp.asarray(rig.map_right)
@@ -165,14 +169,13 @@ class OnlineReconstructor:
             pose = prior  # first frame anchors the world to the prior
         else:
             kf = self.keyframes[-1]
-            prior_rel = se3.compose(se3.inverse(kf.prior_pose), prior)
-            self._key, sub = jax.random.split(self._key)
             with timer.stage("odometry"):
-                rel, used_vo_j, count, matches = odometry_step(
-                    feats, kf.features, prior_rel, sub,
+                # one fused dispatch: prior-rel, RNG fold-in, VO, composition
+                pose, used_vo_j, count, matches = tracking_step(
+                    feats, kf.features, kf.pose, kf.prior_pose, prior,
+                    self._key, jnp.int32(self.frame_idx),
                     cfg.matching, cfg.odometry,
                 )
-                pose = se3.compose(kf.pose, rel)
                 if cfg.runtime.sync_metrics:
                     used_vo = bool(used_vo_j)   # forces a device sync
                     inliers = int(count)

@@ -1,0 +1,38 @@
+"""Trajectory regression (SURVEY.md §4.5): a multi-row survey flight through
+the full online loop — keyframes, window BA, voxel map — with drift bounds."""
+
+import numpy as np
+
+from online_3d_reconstruction_tpu.io.dataset import SyntheticSequence
+from online_3d_reconstruction_tpu.io.synthetic import make_survey_trajectory
+from online_3d_reconstruction_tpu.runtime.pipeline import reconstruct
+from online_3d_reconstruction_tpu.utils.metrics import ate_rmse, rpe_stats
+
+from tests.test_odometry import _test_config, vo_rig, vo_scene  # noqa: F401
+
+
+def test_survey_sequence_regression(vo_scene, vo_rig):
+    """24-frame lawnmower survey: two rows + a turn (yaw and direction flip)."""
+    cfg = _test_config()
+    poses = make_survey_trajectory(
+        24, altitude=12.0, speed=0.7, row_length=7.0, row_spacing=2.5, seed=2
+    )
+    dataset = SyntheticSequence(
+        scene=vo_scene, rig=vo_rig, poses=poses,
+        prior_translation_sigma=0.25, prior_rotation_sigma=0.015,
+    )
+    result = reconstruct(dataset, cfg, vo_rig)
+
+    gt = np.stack(poses)
+    ate = ate_rmse(result.trajectory, gt)
+    rpe_t, rpe_r = rpe_stats(result.trajectory, gt)
+    assert result.metrics["frames"] == 24
+    assert result.metrics["keyframes"] >= 10
+    # regression bounds: chained VO + BA over a 16 m track with noisy priors
+    assert ate < 0.6, f"ATE {ate:.3f} m"
+    assert rpe_t < 0.15, f"RPE-t {rpe_t:.3f} m"
+    assert rpe_r < 0.02, f"RPE-r {rpe_r:.4f} rad"
+    # the map covers both survey rows
+    assert len(result.map_points) > 2_000
+    y_extent = result.map_points[:, 1].max() - result.map_points[:, 1].min()
+    assert y_extent > 4.0, f"map y-extent {y_extent:.1f} (expected both rows)"
