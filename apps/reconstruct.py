@@ -32,6 +32,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it explicitly
+# so `JAX_PLATFORMS=cpu python apps/...` really runs on CPU.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and _plat != "axon":
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 
 def _parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
@@ -101,27 +109,13 @@ def _build_config(args):
 
 def _load_rig(args, cfg):
     from online_3d_reconstruction_tpu.io.calibration import (
-        CameraIntrinsics,
-        StereoCalibration,
         identity_rig,
+        load_calibration_json,
         stereo_rectify,
     )
 
     if args.calib:
-        with open(args.calib) as f:
-            c = json.load(f)
-        def cam(d):
-            return CameraIntrinsics(
-                fx=d["fx"], fy=d["fy"], cx=d["cx"], cy=d["cy"],
-                width=d["width"], height=d["height"],
-                dist=tuple(d.get("dist", (0.0,) * 5)),
-            )
-        calib = StereoCalibration(
-            left=cam(c["left"]), right=cam(c["right"]),
-            rotation=np.asarray(c.get("rotation", np.eye(3).tolist())),
-            translation=np.asarray(c.get("translation", [-0.1, 0.0, 0.0])),
-        )
-        return stereo_rectify(calib)
+        return stereo_rectify(load_calibration_json(args.calib))
     h, w = cfg.stereo.height, cfg.stereo.width
     return identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
                         width=w, height=h)

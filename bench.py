@@ -173,5 +173,25 @@ def main() -> None:
     }))
 
 
+def _emergency_exit(reason: str) -> None:
+    """The driver must always get its one JSON line, even if the TPU tunnel
+    hangs or a stage dies: report a zero measurement rather than nothing."""
+    print(json.dumps({"error": reason}), file=sys.stderr)
+    print(json.dumps({
+        "metric": "frames/s/chip (stereo->fused cloud, 512x384xD64, 8-path SGM)",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }))
+    os._exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    import signal
+
+    signal.signal(signal.SIGALRM, lambda *_: _emergency_exit("watchdog timeout"))
+    signal.alarm(int(os.environ.get("O3R_BENCH_TIMEOUT_S", "1500")))
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        _emergency_exit(f"{type(e).__name__}: {e}")

@@ -36,3 +36,27 @@ from online_3d_reconstruction_tpu.config import (  # noqa: F401
     RuntimeConfig,
     load_config,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import online_3d_reconstruction_tpu` free of
+    jax-touching imports): reconstruct, OnlineReconstructor, stereo/odometry/
+    ba/mapping/parallel submodule entry points per SURVEY.md §3.6."""
+    lazy = {
+        "reconstruct": ("online_3d_reconstruction_tpu.runtime.pipeline", "reconstruct"),
+        "OnlineReconstructor": ("online_3d_reconstruction_tpu.runtime.pipeline", "OnlineReconstructor"),
+        "reconstruct_distributed": ("online_3d_reconstruction_tpu.runtime.distributed", "reconstruct_distributed"),
+        "sgm_disparity": ("online_3d_reconstruction_tpu.stereo.sgm", "sgm_disparity"),
+        "detect_and_describe": ("online_3d_reconstruction_tpu.features.brief", "detect_and_describe"),
+        "match_descriptors": ("online_3d_reconstruction_tpu.features.match", "match_descriptors"),
+        "odometry_step": ("online_3d_reconstruction_tpu.odometry.frontend", "odometry_step"),
+        "solve_ba": ("online_3d_reconstruction_tpu.ba.schur", "solve_ba"),
+        "voxel_downsample": ("online_3d_reconstruction_tpu.mapping.voxel", "voxel_downsample"),
+        "make_mesh": ("online_3d_reconstruction_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

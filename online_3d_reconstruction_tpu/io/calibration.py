@@ -198,6 +198,33 @@ def stereo_rectify(calib: StereoCalibration) -> RectifiedRig:
     )
 
 
+def load_calibration_json(path: str) -> StereoCalibration:
+    """Load a stereo calibration from JSON.
+
+    Schema: {"left": {fx, fy, cx, cy, width, height, dist?}, "right": {...},
+    "rotation"?: 3x3 list, "translation"?: [tx, ty, tz]} — the data-file form
+    of the reference's compiled-in/XML calibration constants (SURVEY.md §5).
+    """
+    import json
+
+    with open(path) as f:
+        c = json.load(f)
+
+    def cam(d) -> CameraIntrinsics:
+        return CameraIntrinsics(
+            fx=d["fx"], fy=d["fy"], cx=d["cx"], cy=d["cy"],
+            width=d["width"], height=d["height"],
+            dist=tuple(d.get("dist", (0.0,) * 5)),
+        )
+
+    return StereoCalibration(
+        left=cam(c["left"]),
+        right=cam(c["right"]),
+        rotation=np.asarray(c.get("rotation", np.eye(3).tolist())),
+        translation=np.asarray(c.get("translation", [-0.1, 0.0, 0.0])),
+    )
+
+
 def identity_rig(fx: float, fy: float, cx: float, cy: float, baseline: float,
                  width: int, height: int) -> RectifiedRig:
     """A pre-rectified rig (identity maps) — e.g. the synthetic scene's."""
