@@ -36,7 +36,11 @@ class StereoConfig:
     speckle_range: float = 1.0       # disparity jump that splits a blob
     invalid_value: float = -1.0      # disparity value marking invalid pixels
     use_pallas: bool = True          # Pallas scan kernel (else lax.scan fallback)
-    cost_dtype: str = "int32"        # cost-volume accumulation dtype
+    # storage dtype of the (H, W, D) cost/aggregation volumes — the SGM
+    # stage's HBM traffic. "float32" is exact; "bfloat16" halves bytes and is
+    # still exact for the census costs (integers <= 56 per path) while path
+    # sums round in the last bit or two (WTA ties may flip; < 0.5% of pixels).
+    cost_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

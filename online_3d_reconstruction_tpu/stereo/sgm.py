@@ -282,6 +282,7 @@ def sgm_disparity(left: jnp.ndarray, right: jnp.ndarray, config: StereoConfig,
         aggregated = aggregate_pallas(
             cost, config.p1, config.p2, config.num_paths,
             interpret=interpret_pallas,
+            dtype=jnp.dtype(config.cost_dtype),
         )
     else:
         aggregated = aggregate_scan(cost, config.p1, config.p2, config.num_paths)

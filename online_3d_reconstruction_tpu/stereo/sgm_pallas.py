@@ -46,21 +46,27 @@ def _step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float) -> 
 
 
 def _scan_pair_kernel(cost_ref, out_ref, *, p1: float, p2: float):
-    """Forward + backward scan along axis 0 of an (S, TL, D) block."""
+    """Forward + backward scan along axis 0 of an (S, TL, D) block.
+
+    Storage dtype (HBM traffic) follows the refs; the recurrence itself runs
+    in f32. With bf16 storage the per-path values stay exact (integers <= 56
+    when P1/P2 are integral); the fwd+bwd sum <= 112 is also exact in bf16.
+    """
     s, tl, d = cost_ref.shape
+    out_dtype = out_ref.dtype
     carry0 = jnp.zeros((tl, d), dtype=jnp.float32)
 
     def fwd(x, carry):
-        new = _step(carry, cost_ref[x], p1, p2)
-        out_ref[x] = new
+        new = _step(carry, cost_ref[x].astype(jnp.float32), p1, p2)
+        out_ref[x] = new.astype(out_dtype)
         return new
 
     jax.lax.fori_loop(0, s, fwd, carry0)
 
     def bwd(i, carry):
         x = s - 1 - i
-        new = _step(carry, cost_ref[x], p1, p2)
-        out_ref[x] += new
+        new = _step(carry, cost_ref[x].astype(jnp.float32), p1, p2)
+        out_ref[x] = (out_ref[x].astype(jnp.float32) + new).astype(out_dtype)
         return new
 
     jax.lax.fori_loop(0, s, bwd, carry0)
@@ -77,7 +83,10 @@ def _pick_tile(s: int, l: int, d: int) -> int:
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "interpret"))
 def scan_pair(cost: jnp.ndarray, p1: float, p2: float,
               interpret: bool = False) -> jnp.ndarray:
-    """Sum of forward+backward SGM aggregation along axis 0 of (S, L, D)."""
+    """Sum of forward+backward SGM aggregation along axis 0 of (S, L, D).
+
+    Output dtype == input dtype (the storage/HBM-traffic dtype).
+    """
     s, l, d = cost.shape
     tile = _pick_tile(s, l, d)
     pad = (-l) % tile
@@ -87,36 +96,42 @@ def scan_pair(cost: jnp.ndarray, p1: float, p2: float,
 
     out = pl.pallas_call(
         functools.partial(_scan_pair_kernel, p1=float(p1), p2=float(p2)),
-        out_shape=jax.ShapeDtypeStruct((s, l_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, l_pad, d), cost.dtype),
         grid=(l_pad // tile,),
         in_specs=[
             pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cost.astype(jnp.float32))
+    )(cost)
     return out[:, :l]
 
 
 def aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Drop-in replacement for sgm.aggregate_scan built on the Pallas kernel."""
+                     interpret: bool = False,
+                     dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Drop-in replacement for sgm.aggregate_scan built on the Pallas kernel.
+
+    ``dtype`` is the storage dtype of the volumes the kernels stream through
+    HBM (StereoConfig.cost_dtype); the inter-pair accumulation and the
+    returned total are f32 regardless.
+    """
     from online_3d_reconstruction_tpu.stereo.sgm import _deskew, _skew
 
     if num_paths not in (2, 4, 8):
         raise ValueError(f"num_paths must be 2, 4, or 8, got {num_paths}")
     h, w, _ = cost.shape
-    cost = cost.astype(jnp.float32)
+    cost = cost.astype(dtype)
 
     # Horizontal pair: scan along W of the (W, H, D) transpose.
     agg_h = scan_pair(jnp.swapaxes(cost, 0, 1), p1, p2, interpret=interpret)
-    total = jnp.swapaxes(agg_h, 0, 1)
+    total = jnp.swapaxes(agg_h, 0, 1).astype(jnp.float32)
     if num_paths >= 4:
         # Vertical pair: (H, W, D) scans along H directly.
-        total = total + scan_pair(cost, p1, p2, interpret=interpret)
+        total = total + scan_pair(cost, p1, p2, interpret=interpret).astype(jnp.float32)
     if num_paths == 8:
         for sign in (1, -1):
             skewed = _skew(cost, sign)  # (H, W+H-1, D); diagonals -> columns
             agg = scan_pair(skewed, p1, p2, interpret=interpret)
-            total = total + _deskew(agg, sign, w)
+            total = total + _deskew(agg.astype(jnp.float32), sign, w)
     return total

@@ -166,3 +166,23 @@ class TestEndToEnd:
         assert both.mean() > 0.4
         agree = np.abs(np.asarray(disp)[both] - ref[both]) <= 1.0
         assert agree.mean() > 0.85, f"cv2 agreement {agree.mean()}"
+
+
+class TestCostDtype:
+    def test_bf16_storage_matches_f32(self, stereo_frame):
+        """bf16 cost-volume storage: integral SGM values stay exact per pair;
+        only inter-path rounding may flip rare WTA ties."""
+        left = jnp.asarray(stereo_frame.left)
+        right = jnp.asarray(stereo_frame.right)
+        d32, v32 = sgm_disparity(left, right,
+                                 _cfg(use_pallas=True, cost_dtype="float32"),
+                                 interpret_pallas=True)
+        d16, v16 = sgm_disparity(left, right,
+                                 _cfg(use_pallas=True, cost_dtype="bfloat16"),
+                                 interpret_pallas=True)
+        both = np.asarray(v32) & np.asarray(v16)
+        assert both.mean() > 0.5
+        close = np.abs(np.asarray(d32)[both] - np.asarray(d16)[both]) <= 1.0
+        assert close.mean() > 0.995, f"bf16 agreement {close.mean():.4f}"
+        flipped = np.asarray(v32) != np.asarray(v16)
+        assert flipped.mean() < 0.02, f"validity flips {flipped.mean():.4f}"
