@@ -48,6 +48,7 @@ class FeatureConfig:
     """FAST/ORB-style detection + binary description (reference: cv::cuda::ORB)."""
 
     max_keypoints: int = 512         # static per-frame keypoint capacity
+    num_levels: int = 3              # image-pyramid levels (2x per level)
     fast_threshold: float = 20.0     # FAST-9 intensity threshold (on [0,255])
     fast_arc: int = 9                # contiguous arc length on the 16-px circle
     nms_radius: int = 3              # score non-max suppression radius

@@ -27,11 +27,12 @@ from online_3d_reconstruction_tpu.config import FeatureConfig
 class Keypoints(NamedTuple):
     """Static-capacity keypoint set with packed binary descriptors."""
 
-    xy: jnp.ndarray           # (K, 2) float32 pixel coords [x, y]
+    xy: jnp.ndarray           # (K, 2) float32 pixel coords [x, y] (full-res)
     score: jnp.ndarray        # (K,) float32 detection score
     angle: jnp.ndarray        # (K,) float32 orientation (radians)
     descriptors: jnp.ndarray  # (K, W) uint32 packed binary descriptor words
     valid: jnp.ndarray        # (K,) bool
+    octave: jnp.ndarray       # (K,) int32 pyramid level (0 = full resolution)
 
 
 def brief_pattern(bits: int, patch_size: int, seed: int) -> np.ndarray:
@@ -117,7 +118,9 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("config",))
 def describe_keypoints(image: jnp.ndarray, xy: jnp.ndarray, score: jnp.ndarray,
                        valid: jnp.ndarray, config: FeatureConfig) -> Keypoints:
-    """Compute orientations + steered BRIEF descriptors for detected corners."""
+    """Compute orientations + steered BRIEF descriptors for detected corners.
+
+    Single-level: xy are coordinates in ``image``; octave is set to 0."""
     pattern = jnp.asarray(
         brief_pattern(config.descriptor_bits, config.patch_size, config.seed)
     )
@@ -143,21 +146,76 @@ def describe_keypoints(image: jnp.ndarray, xy: jnp.ndarray, score: jnp.ndarray,
     bits = i1 < i2
     desc = _pack_bits(bits)
     desc = jnp.where(valid[:, None], desc, 0)
-    return Keypoints(xy=xy, score=score, angle=angle, descriptors=desc, valid=valid)
+    return Keypoints(xy=xy, score=score, angle=angle, descriptors=desc,
+                     valid=valid, octave=jnp.zeros(xy.shape[0], jnp.int32))
+
+
+def _downsample2(image: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling (even dims; odd trailing row/col dropped)."""
+    h, w = image.shape
+    h2, w2 = h // 2, w // 2
+    x = image[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2)
+    return x.mean(axis=(1, 3))
+
+
+def _level_budgets(total: int, levels: int) -> list:
+    """Per-level keypoint caps, halving per level (ORB-style), summing to total."""
+    raw = [0.5 ** l for l in range(levels)]
+    norm = sum(raw)
+    caps = [max(1, int(round(total * r / norm))) for r in raw]
+    caps[0] += total - sum(caps)
+    return caps
 
 
 @partial(jax.jit, static_argnames=("config",))
 def detect_and_describe(image: jnp.ndarray, config: FeatureConfig) -> Keypoints:
-    """Full C7 stage: FAST detection + oriented BRIEF description."""
+    """Full C7 stage: pyramid FAST detection + oriented BRIEF description.
+
+    The reference's ORB detects on an image pyramid (SURVEY.md C7); here each
+    2x-downsampled level gets a halving share of the keypoint budget, is
+    detected + described at its own scale, and coordinates are mapped back to
+    full resolution. Total capacity stays exactly ``max_keypoints``.
+    """
     from online_3d_reconstruction_tpu.features.fast import detect_keypoints
 
-    xy, score, valid = detect_keypoints(
-        image,
-        max_keypoints=config.max_keypoints,
-        threshold=config.fast_threshold / 255.0,
-        arc=config.fast_arc,
-        nms_radius=config.nms_radius,
-        border=config.border,
-        grid_tiles=config.grid_tiles,
+    # drop levels too small for the descriptor patch (static shapes)
+    levels = 1
+    h, w = image.shape
+    min_side = 2 * (config.patch_size + 2 * config.nms_radius + 8)
+    while (
+        levels < config.num_levels
+        and min(h, w) // (2 ** levels) >= min_side
+    ):
+        levels += 1
+    caps = _level_budgets(config.max_keypoints, levels)
+
+    parts = []
+    img_l = image
+    for level in range(levels):
+        if level:
+            img_l = _downsample2(img_l)
+        xy, score, valid = detect_keypoints(
+            img_l,
+            max_keypoints=caps[level],
+            threshold=config.fast_threshold / 255.0,
+            arc=config.fast_arc,
+            nms_radius=config.nms_radius,
+            border=config.border,
+            grid_tiles=config.grid_tiles,
+        )
+        kp = describe_keypoints(img_l, xy, score, valid, config)
+        scale = float(2 ** level)
+        parts.append(
+            kp._replace(
+                xy=kp.xy * scale,
+                octave=jnp.full(caps[level], level, jnp.int32),
+            )
+        )
+    return Keypoints(
+        xy=jnp.concatenate([p.xy for p in parts]),
+        score=jnp.concatenate([p.score for p in parts]),
+        angle=jnp.concatenate([p.angle for p in parts]),
+        descriptors=jnp.concatenate([p.descriptors for p in parts]),
+        valid=jnp.concatenate([p.valid for p in parts]),
+        octave=jnp.concatenate([p.octave for p in parts]),
     )
-    return describe_keypoints(image, xy, score, valid, config)

@@ -22,7 +22,7 @@ import numpy as np
 if TYPE_CHECKING:  # pragma: no cover
     from online_3d_reconstruction_tpu.runtime.pipeline import OnlineReconstructor
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: keypoint octave field
 
 
 def save_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
@@ -52,6 +52,7 @@ def save_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
         payload[f"kf{i}_angle"] = np.asarray(kf.features.keypoints.angle)
         payload[f"kf{i}_desc"] = np.asarray(kf.features.keypoints.descriptors)
         payload[f"kf{i}_kpvalid"] = np.asarray(kf.features.keypoints.valid)
+        payload[f"kf{i}_octave"] = np.asarray(kf.features.keypoints.octave)
         payload[f"kf{i}_pts3d"] = np.asarray(kf.features.points3d)
         payload[f"kf{i}_valid3d"] = np.asarray(kf.features.valid3d)
     if engine._ba is not None:
@@ -110,6 +111,7 @@ def load_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
                 angle=jnp.asarray(z[f"kf{i}_angle"]),
                 descriptors=jnp.asarray(z[f"kf{i}_desc"]),
                 valid=jnp.asarray(z[f"kf{i}_kpvalid"]),
+                octave=jnp.asarray(z[f"kf{i}_octave"]),
             )
             feats = FrameFeatures(
                 keypoints=kp,

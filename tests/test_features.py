@@ -95,3 +95,36 @@ class TestBrief:
                         zip(d1.reshape(-1).tolist(), d2.reshape(-1).tolist())])
         mean_bits = ham.reshape(len(d1), -1).sum(axis=1).mean()
         assert mean_bits < 40, f"mean Hamming under noise: {mean_bits}"
+
+
+class TestPyramid:
+    def test_levels_populated_and_coords_full_res(self, stereo_frame):
+        cfg = FeatureConfig(max_keypoints=256, fast_threshold=5.0, num_levels=3)
+        kp = detect_and_describe(jnp.asarray(stereo_frame.left), cfg)
+        oct_np = np.asarray(kp.octave)
+        valid = np.asarray(kp.valid)
+        assert kp.xy.shape == (256, 2)
+        assert set(np.unique(oct_np[valid])) >= {0, 1}
+        h, w = stereo_frame.left.shape
+        pts = np.asarray(kp.xy)[valid]
+        assert (pts[:, 0] < w).all() and (pts[:, 1] < h).all()
+
+    def test_scale_robust_matching(self, scene, small_rig):
+        """Same terrain at 1.5x altitude: pyramid matching finds more pairs."""
+        from online_3d_reconstruction_tpu.features.match import match_descriptors
+        from online_3d_reconstruction_tpu.io.synthetic import nadir_pose
+
+        f1 = scene.render_stereo(nadir_pose(0, 0, 20.0), small_rig)
+        f2 = scene.render_stereo(nadir_pose(0, 0, 30.0), small_rig)
+
+        def n_matches(levels):
+            cfg = FeatureConfig(max_keypoints=256, fast_threshold=5.0,
+                                num_levels=levels)
+            a = detect_and_describe(jnp.asarray(f1.left), cfg)
+            b = detect_and_describe(jnp.asarray(f2.left), cfg)
+            m = match_descriptors(a.descriptors, b.descriptors, a.valid, b.valid)
+            return int(np.asarray(m.valid).sum())
+
+        single = n_matches(1)
+        pyr = n_matches(3)
+        assert pyr >= single, (single, pyr)
