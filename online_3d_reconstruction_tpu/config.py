@@ -48,7 +48,12 @@ class FeatureConfig:
     """FAST/ORB-style detection + binary description (reference: cv::cuda::ORB)."""
 
     max_keypoints: int = 512         # static per-frame keypoint capacity
-    num_levels: int = 3              # image-pyramid levels (2x per level)
+    # Image-pyramid levels (2x per level). 1 = full-res only: best VO
+    # precision at constant altitude (coarse-level matches localize on a
+    # 2^l grid and measurably dilute the rigid fit even downweighted);
+    # raise to 2-3 for missions with altitude/scale changes, where
+    # cross-scale matching keeps tracking alive (see TestPyramid).
+    num_levels: int = 1
     fast_threshold: float = 20.0     # FAST-9 intensity threshold (on [0,255])
     fast_arc: int = 9                # contiguous arc length on the 16-px circle
     nms_radius: int = 3              # score non-max suppression radius

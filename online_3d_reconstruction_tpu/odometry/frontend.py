@@ -123,12 +123,19 @@ def _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg):
     dst = prev.points3d[matches.index]       # matched previous-camera points
     pair_ok = matches.valid & curr.valid3d & prev.valid3d[matches.index]
 
+    # pyramid keypoints localize on a 2^octave grid: weight the fit by the
+    # inverse localization variance of the coarser side of each pair
+    pair_octave = jnp.maximum(curr.keypoints.octave,
+                              prev.keypoints.octave[matches.index])
+    pair_weight = 0.25 ** pair_octave.astype(jnp.float32)
+
     enough = jnp.sum(pair_ok) >= odo_cfg.min_matches
     t_vo, inlier_mask, count, fit_ok = ransac_rigid(
         src, dst, pair_ok, key,
         iters=odo_cfg.ransac_iters,
         threshold=odo_cfg.ransac_threshold,
         min_inliers=odo_cfg.min_inliers,
+        weights=pair_weight,
     )
     used_vo = fit_ok & enough
     rel = jnp.where(used_vo, t_vo, prior_rel)

@@ -55,14 +55,22 @@ def ransac_rigid(
     iters: int = 128,
     threshold: float = 0.25,
     min_inliers: int = 12,
+    weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Robust rigid fit of dst ~= T(src) over masked correspondences.
+
+    ``weights`` (optional, (N,)): relative confidence per pair — e.g.
+    1/4^octave for pyramid keypoints, whose localization variance grows with
+    the level. Weights scale the least-squares fits; inlier *counting* stays
+    unweighted so the fitness gate keeps its meaning.
 
     Returns (T (4,4), inlier_mask (N,), inlier_count (), ok ()).
     ``ok`` is False when the best hypothesis has < min_inliers — the caller
     falls back to its pose prior (the reference's fitness gate).
     """
     n = src.shape[0]
+    if weights is None:
+        weights = jnp.ones(n, dtype=jnp.float32)
 
     # --- hypothesis sampling: (iters, 3) indices over the match slots -------
     samples = jax.random.randint(key, (iters, 3), 0, n)
@@ -93,13 +101,13 @@ def ransac_rigid(
     # A hard inlier ball truncates the residual distribution and biases the
     # refit when noise sigma ~ threshold; 3 Huber reweighting steps over the
     # *full* match set (anchored by the RANSAC consensus) fix that.
-    t_fit = rigid_transform(src, dst, best_mask.astype(jnp.float32))
+    t_fit = rigid_transform(src, dst, best_mask.astype(jnp.float32) * weights)
     huber = threshold
 
     def irls_step(t_cur, _):
         r = jnp.linalg.norm(se3.transform_points(t_cur, src) - dst, axis=-1)
         w = jnp.where(r <= huber, 1.0, huber / jnp.maximum(r, 1e-9))
-        w = w * valid.astype(jnp.float32)
+        w = w * valid.astype(jnp.float32) * weights
         return rigid_transform(src, dst, w), None
 
     t_fit, _ = jax.lax.scan(irls_step, t_fit, None, length=3)

@@ -124,3 +124,45 @@ class TestShardedSGM:
         with pytest.raises(ValueError):
             sharded_disparity(jnp.zeros((192, 256)), jnp.zeros((192, 256)),
                               cfg, mesh8, halo=32)  # slab 24 <= halo 32
+
+
+class TestVoxelRouteMerge:
+    def test_matches_global_downsample(self, mesh8):
+        from online_3d_reconstruction_tpu.parallel.voxel_sharded import (
+            voxel_route_merge,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 1024
+        cloud = PointCloud(
+            points=jnp.asarray(rng.normal(0, 4, (n, 3)).astype(np.float32)),
+            colors=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+            valid=jnp.asarray(rng.random(n) < 0.9),
+        )
+        ref = voxel_downsample(cloud, voxel_size=1.0, bounds=64.0)
+        out, dropped = voxel_route_merge(cloud.points, cloud.colors, cloud.valid,
+                                         mesh8, voxel_size=1.0, bounds=64.0)
+        assert int(dropped) == 0  # default bucket capacity is lossless
+        ref_pts = np.asarray(ref.points)[np.asarray(ref.valid)]
+        out_pts = np.asarray(out.points)[np.asarray(out.valid)]
+        ref_cols = np.asarray(ref.colors)[np.asarray(ref.valid)]
+        out_cols = np.asarray(out.colors)[np.asarray(out.valid)]
+        assert len(ref_pts) == len(out_pts)
+        o1 = np.lexsort(ref_pts.T)
+        o2 = np.lexsort(out_pts.T)
+        np.testing.assert_allclose(out_pts[o2], ref_pts[o1], atol=1e-4)
+        np.testing.assert_allclose(out_cols[o2], ref_cols[o1], atol=1e-4)
+
+    def test_overflow_counted(self, mesh8):
+        from online_3d_reconstruction_tpu.parallel.voxel_sharded import (
+            voxel_route_merge,
+        )
+
+        rng = np.random.default_rng(6)
+        n = 1024
+        pts = jnp.asarray(rng.normal(0, 30, (n, 3)).astype(np.float32))
+        out, dropped = voxel_route_merge(
+            pts, jnp.zeros((n, 3)), jnp.ones(n, bool),
+            mesh8, voxel_size=0.25, bounds=64.0, bucket_capacity=4,
+        )
+        assert int(dropped) > 0  # tiny buckets must overflow and be counted
