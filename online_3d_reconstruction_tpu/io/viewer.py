@@ -12,7 +12,6 @@ periodically for a poor-man's live view (file refresh).
 from __future__ import annotations
 
 import base64
-import json
 from typing import Optional
 
 import numpy as np

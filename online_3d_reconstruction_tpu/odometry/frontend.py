@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from online_3d_reconstruction_tpu.config import FeatureConfig, MatchConfig, OdometryConfig
 from online_3d_reconstruction_tpu.features.brief import Keypoints, detect_and_describe
-from online_3d_reconstruction_tpu.features.match import Matches, match_descriptors
+from online_3d_reconstruction_tpu.features.match import match_descriptors
 from online_3d_reconstruction_tpu.geometry import se3
 from online_3d_reconstruction_tpu.odometry.rigid import ransac_rigid
 

@@ -18,7 +18,6 @@ tests/test_parallel.py on a CPU-simulated 8-device mesh (SURVEY.md §4.4).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -32,7 +31,7 @@ from online_3d_reconstruction_tpu.ba.schur import (
     schur_solve,
 )
 from online_3d_reconstruction_tpu.geometry import se3
-from online_3d_reconstruction_tpu.parallel.mesh import DEFAULT_AXIS, pad_to_multiple
+from online_3d_reconstruction_tpu.parallel.mesh import pad_to_multiple
 
 
 def _pad_observations(problem: BAProblem, n_devices: int) -> BAProblem:

@@ -17,7 +17,6 @@ almost everywhere (asserted in tests/test_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -19,11 +19,9 @@ parallel/voxel_sharded.py, is used for the final global reduction).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh
 
 from online_3d_reconstruction_tpu.ba.window import WindowBA

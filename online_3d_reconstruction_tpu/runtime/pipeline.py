@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ is a ``while_loop`` bounded by the image diameter.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 gradient cross-check via jax.grad, Schur-vs-direct equivalence, GN descent."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,5 @@
 """IO round-trips: PLY/PCD/TUM export, flight-log parsing, image-folder data."""
 
-import json
 import os
 
 import numpy as np

@@ -11,7 +11,6 @@ import pytest
 import jax.numpy as jnp
 
 from online_3d_reconstruction_tpu.config import StereoConfig
-from online_3d_reconstruction_tpu.stereo.census import census_transform, cost_volume
 from online_3d_reconstruction_tpu.stereo.sgm import (
     aggregate_scan,
     right_disparity_from_aggregated,
