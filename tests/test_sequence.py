@@ -36,3 +36,26 @@ def test_survey_sequence_regression(vo_scene, vo_rig):
     assert len(result.map_points) > 2_000
     y_extent = result.map_points[:, 1].max() - result.map_points[:, 1].min()
     assert y_extent > 4.0, f"map y-extent {y_extent:.1f} (expected both rows)"
+
+
+def test_profile_flag_writes_trace(vo_scene, vo_rig, tmp_path):
+    """runtime.profile wraps the run in a jax.profiler trace (SURVEY.md §5)."""
+    import dataclasses
+    import os
+
+    from online_3d_reconstruction_tpu.io.dataset import SyntheticSequence
+    from online_3d_reconstruction_tpu.io.synthetic import nadir_pose
+
+    cfg = _test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime, profile=True,
+                                    checkpoint_dir=str(tmp_path)),
+    )
+    ds = SyntheticSequence(scene=vo_scene, rig=vo_rig,
+                           poses=[nadir_pose(0, 0, 12.0)])
+    reconstruct(ds, cfg, vo_rig)
+    trace_dir = tmp_path / "profile"
+    assert trace_dir.exists()
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert found, "no trace files written"
