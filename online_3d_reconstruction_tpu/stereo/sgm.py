@@ -79,28 +79,36 @@ def _skew(cost: jnp.ndarray, sign: int) -> jnp.ndarray:
     H-1-y); sign=-1 maps (dy=1, dx=-1) (row y shifted right by y). Padding
     cells hold a uniform big cost, which the recurrence normalizes away, so a
     path entering the real region restarts exactly as at an image border.
+
+    Implementation: shifting row y right by exactly y is a row-major
+    reinterpretation — pad rows from W to W+H columns, flatten, and re-view as
+    rows of W+H-1: flat index y*(W+H) + x equals y*(W+H-1) + (x + y). Pure
+    pad/reshape, no gather (a gather here measured ~300 ms/volume on v5e; this
+    form is ~1000x cheaper).
     """
     h, w, d = cost.shape
     out_w = w + h - 1
-    cols = jnp.arange(out_w, dtype=jnp.int32)[None, :]
-    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
-    shift = (h - 1 - rows) if sign > 0 else rows
-    src_x = cols - shift  # (H, out_W)
-    valid = (src_x >= 0) & (src_x < w)
-    gathered = jnp.take_along_axis(
-        cost, jnp.clip(src_x, 0, w - 1)[:, :, None].repeat(d, axis=2), axis=1
-    )
-    return jnp.where(valid[:, :, None], gathered, _BIG)
+    if sign > 0:  # shift by H-1-y == flip rows, shift by y, flip rows back
+        cost = cost[::-1]
+    padded = jnp.pad(cost, ((0, 0), (0, h), (0, 0)), constant_values=_BIG)
+    skewed = padded.reshape(h * (w + h), d)[: h * out_w].reshape(h, out_w, d)
+    return skewed[::-1] if sign > 0 else skewed
 
 
 def _deskew(skewed: jnp.ndarray, sign: int, width: int) -> jnp.ndarray:
-    h = skewed.shape[0]
-    d = skewed.shape[2]
-    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
-    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
-    shift = (h - 1 - rows) if sign > 0 else rows
-    src_x = cols + shift
-    return jnp.take_along_axis(skewed, src_x[:, :, None].repeat(d, axis=2), axis=1)
+    """Inverse of _skew restricted to the real image band (no gather).
+
+    out[y, x] = skewed[y, x + shift(y)]: flat index y*OW + x + y equals
+    y*(OW+1) + x, so append H dummy rows to the flattened volume and re-view
+    as rows of OW+1.
+    """
+    h, out_w, d = skewed.shape
+    if sign > 0:
+        skewed = skewed[::-1]
+    flat = skewed.reshape(h * out_w, d)
+    flat = jnp.pad(flat, ((0, h), (0, 0)))
+    out = flat.reshape(h, out_w + 1, d)[:, :width]
+    return out[::-1] if sign > 0 else out
 
 
 def aggregate_scan(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4) -> jnp.ndarray:
@@ -144,20 +152,20 @@ def wta_disparity(
     Returns (disparity (H, W) float32, valid (H, W) bool).
     """
     d = aggregated.shape[-1]
+    # masked-min passes instead of take_along_axis gathers: XLA fuses all the
+    # reductions into one sweep of the volume (the gather form cost ~8 ms).
     best_idx = jnp.argmin(aggregated, axis=-1)
-    best = jnp.take_along_axis(aggregated, best_idx[..., None], axis=-1)[..., 0]
+    best = jnp.min(aggregated, axis=-1)
 
     d_range = jnp.arange(d, dtype=jnp.int32)
-    near = jnp.abs(d_range - best_idx[..., None]) <= 1
-    second = jnp.min(jnp.where(near, _BIG, aggregated), axis=-1)
+    off = d_range - best_idx[..., None]          # (H, W, D) signed offset
+    second = jnp.min(jnp.where(jnp.abs(off) <= 1, _BIG, aggregated), axis=-1)
     valid = best <= second * uniqueness_ratio
 
     disp = best_idx.astype(jnp.float32)
     if subpixel:
-        lo = jnp.maximum(best_idx - 1, 0)
-        hi = jnp.minimum(best_idx + 1, d - 1)
-        c_m = jnp.take_along_axis(aggregated, lo[..., None], axis=-1)[..., 0]
-        c_p = jnp.take_along_axis(aggregated, hi[..., None], axis=-1)[..., 0]
+        c_m = jnp.min(jnp.where(off == -1, aggregated, _BIG), axis=-1)
+        c_p = jnp.min(jnp.where(off == 1, aggregated, _BIG), axis=-1)
         denom = c_m + c_p - 2.0 * best
         offset = jnp.where(denom > 1e-6, (c_m - c_p) / (2.0 * denom), 0.0)
         offset = jnp.clip(offset, -0.5, 0.5)
@@ -172,15 +180,19 @@ def right_disparity_from_aggregated(aggregated: jnp.ndarray) -> jnp.ndarray:
     aggR[y, x, d] = aggL[y, x + d, d] (the matching hypothesis linking right
     pixel x to left pixel x+d) — the standard trick cv2 uses for its LR check,
     requiring no second SGM pass.
+
+    The shear along W indexed by d is gather-free: after swapping to
+    (H, D, W), flat index dd*W + x + dd equals dd*(W+1) + x (same pad/reshape
+    reinterpretation as _skew; the gather form measured ~180 ms/volume).
     """
     h, w, d = aggregated.shape
-    x_idx = jnp.arange(w, dtype=jnp.int32)[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :]
-    oob = x_idx >= w
-    gathered = jnp.take_along_axis(
-        aggregated, jnp.clip(x_idx, 0, w - 1)[None, :, :].repeat(h, axis=0), axis=1
-    )
-    agg_r = jnp.where(oob[None, :, :], _BIG, gathered)
-    return jnp.argmin(agg_r, axis=-1).astype(jnp.float32)
+    agg_t = jnp.swapaxes(aggregated, 1, 2).reshape(h, d * w)
+    agg_t = jnp.pad(agg_t, ((0, 0), (0, d)))
+    sheared = agg_t.reshape(h, d, w + 1)[:, :, :w]  # [y, dd, x] = agg[y, x+dd, dd]
+    oob = (jnp.arange(w, dtype=jnp.int32)[None, :]
+           + jnp.arange(d, dtype=jnp.int32)[:, None]) >= w   # (D, W)
+    agg_r = jnp.where(oob[None], _BIG, sheared)
+    return jnp.argmin(agg_r, axis=1).astype(jnp.float32)
 
 
 def lr_consistency_mask(disparity: jnp.ndarray, disp_right: jnp.ndarray,
@@ -214,38 +226,43 @@ def speckle_filter(disparity: jnp.ndarray, valid: jnp.ndarray,
 
     inf_lab = jnp.int32(h * w)
 
-    def connected(a_disp, b_disp, a_val, b_val):
-        return a_val & b_val & (jnp.abs(a_disp - b_disp) <= max_diff)
+    # Connectivity to the predecessor along each axis (x-1 for rows, y-1 for
+    # columns); a cell NOT connected to its predecessor starts a new segment.
+    def conn_prev(axis):
+        a, b = (disparity, jnp.roll(disparity, 1, axis=axis))
+        va, vb = (valid, jnp.roll(valid, 1, axis=axis))
+        conn = va & vb & (jnp.abs(a - b) <= max_diff)
+        idx = jnp.arange(disparity.shape[axis]) > 0
+        return conn & idx.reshape((-1, 1) if axis == 0 else (1, -1))
 
-    # Precompute the static 4-neighborhood connectivity masks once.
-    conn_masks = []
-    for axis, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        nb_disp = jnp.roll(disparity, shift, axis=axis)
-        nb_val = jnp.roll(valid, shift, axis=axis)
-        idx = jnp.arange(disparity.shape[axis])
-        border_ok = (idx > 0) if shift == 1 else (idx < disparity.shape[axis] - 1)
-        border_ok = border_ok.reshape((-1, 1) if axis == 0 else (1, -1))
-        conn_masks.append(
-            (axis, shift, connected(disparity, nb_disp, valid, nb_val) & border_ok)
+    flags = [~conn_prev(0), ~conn_prev(1)]  # segment-start flags per axis
+
+    def seg_min(vals, flag, axis, reverse):
+        """Min over the connected run: inclusive segmented min-scan."""
+        def combine(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+        out, _ = jax.lax.associative_scan(
+            combine, (vals, flag), axis=axis, reverse=reverse
         )
+        return out
 
     def propagate(state):
-        """One neighbor-min sweep + two pointer-jumping hops.
-
-        Plain min-propagation needs O(blob diameter) sweeps (~H+W: measured
-        ~800 ms/frame on TPU v5e). Treating each label as a parent pointer
-        (label[i] <= i always holds) lets ``label <- label[label]`` double the
-        flooded distance per step — O(log diameter) sweeps, ~10 for 512x384.
+        """One sweep: spread the min label along every maximal horizontal and
+        vertical connected run via segmented scans (gather-free; the previous
+        pointer-jumping formulation needed two 196k-element gathers per sweep
+        and measured ~80 ms/frame on v5e). Straight runs flood in one sweep,
+        so the sweep count is the blob's 'bend count', typically 2-4.
         """
         labels, _ = state
         new = labels
-        for axis, shift, conn in conn_masks:
-            nb_lab = jnp.roll(labels, shift, axis=axis)
-            new = jnp.where(conn, jnp.minimum(new, nb_lab), new)
-        flat = new.reshape(-1)
-        flat = flat[flat]   # pointer jump 1
-        flat = flat[flat]   # pointer jump 2
-        new = flat.reshape(h, w)
+        for axis in (0, 1):
+            flag = flags[axis]
+            new = jnp.minimum(new, seg_min(new, flag, axis, reverse=False))
+            # reverse scan: segment starts flip to the successor boundary
+            rflag = jnp.roll(flag, -1, axis=axis)
+            new = jnp.minimum(new, seg_min(new, rflag, axis, reverse=True))
         return new, jnp.any(new != labels)
 
     def cond(state):

@@ -2,15 +2,30 @@
 
 The north star mandates "cost-volume SGM -> Pallas scan kernel" (SURVEY.md
 §2.2). The recurrence is sequential along the scan direction, but each step
-is an elementwise min-tree over an (L, D) line — pure VPU work. This kernel
-keeps a (S, TILE_L, D) cost block VMEM-resident and runs the forward *and*
-backward directional scans in one invocation, writing their sum — the cost
-volume is read from HBM once and the output written once per direction-pair.
+is an elementwise min-tree over an (L, D) line — pure VPU work.
+
+Kernel design (v2 — streaming scan):
+
+- The scan axis S is a *grid* dimension in blocks of ``_S_BLK`` lines; Mosaic
+  double-buffers the HBM->VMEM DMA of the next (S_BLK, TL, D) cost block
+  behind the compute of the current one, so the cost volume streams through
+  VMEM at HBM bandwidth instead of having to fit in it.
+- The per-line-tile recurrence carry (TL, D) lives in VMEM *scratch*, which
+  persists across sequential grid steps; it is re-zeroed whenever a new line
+  tile starts (program_id(1) == 0).
+- Each inner step is a (TL, D) VPU min-tree with TL up to 512 lines — big
+  enough to amortize loop and DMA-turnaround overhead (the v1 kernel kept the
+  whole scan extent resident, was forced to 16-line tiles, and measured
+  ~1.1 s/volume on v5e; this layout is the fix).
+- Forward and backward directions are two ``pallas_call``s: the forward pass
+  writes its aggregation, the backward pass revisits the blocks in reverse
+  grid order and accumulates into the forward output via
+  ``input_output_aliases`` (one extra read of the output volume, no copy).
 
 Layout rule that makes or breaks this kernel: the scan axis must be the
-LEADING block axis so each step reads ``cost_ref[x]`` = one contiguous
-(TILE_L, D) sublanes-x-lanes tile. With the scan axis in the middle
-(``cost_ref[:, x, :]``) every step is a strided single-sublane gather and the
+LEADING block axis so each step reads ``cost_ref[s]`` = one contiguous
+(TL, D) sublanes-x-lanes tile. With the scan axis in the middle
+(``cost_ref[:, s, :]``) every step is a strided single-sublane gather and the
 kernel runs ~1000x off roofline (measured on v5e).
 
 Direction mapping (all 4/8 paths reuse this one kernel):
@@ -18,6 +33,10 @@ Direction mapping (all 4/8 paths reuse this one kernel):
 - horizontal pair: scan the (W, H, D) transpose;
 - diagonal pairs:  scan the skewed volume (sgm._skew) along H — a sheared
   image turns diagonals into columns.
+
+Zero-padding along S is exactly neutral: a zero carry stepped over a
+zero-cost line stays zero, which is the fresh-edge initial condition, so the
+backward scan can start inside the padding without changing any real output.
 """
 
 from __future__ import annotations
@@ -30,9 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e9  # python float: jnp constants would be captured consts in the kernel
-# Per-buffer VMEM budget. The scoped limit is ~16 MB and Mosaic
-# double-buffers both grid blocks, so keep in+out under ~4 MB each.
-_VMEM_BYTES = 4 * 1024 * 1024
+# Per-buffer VMEM budget. The backward pass holds 3 grid blocks (cost, acc,
+# out) and Mosaic double-buffers each, so 6 live buffers must fit the ~16 MB
+# scoped limit together with the carry scratch.
+_VMEM_BYTES = 1024 * 1024
+_S_BLK = 16      # scan lines per grid step (inner unrolled loop)
+_TL_MAX = 512    # max line-tile width (VPU op per step is (TL, D))
 
 
 def _step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
@@ -45,39 +67,44 @@ def _step(carry: jnp.ndarray, cost_slice: jnp.ndarray, p1: float, p2: float) -> 
     return cost_slice + best - min_prev
 
 
-def _scan_pair_kernel(cost_ref, out_ref, *, p1: float, p2: float):
-    """Forward + backward scan along axis 0 of an (S, TL, D) block.
-
-    Storage dtype (HBM traffic) follows the refs; the recurrence itself runs
-    in f32. With bf16 storage the per-path values stay exact (integers <= 56
-    when P1/P2 are integral); the fwd+bwd sum <= 112 is also exact in bf16.
-    """
-    s, tl, d = cost_ref.shape
+def _fwd_kernel(cost_ref, out_ref, carry_ref, *, p1: float, p2: float):
+    """Forward scan over one (S_BLK, TL, D) block; carry persists in scratch."""
+    s_blk = cost_ref.shape[0]
     out_dtype = out_ref.dtype
-    carry0 = jnp.zeros((tl, d), dtype=jnp.float32)
 
-    def fwd(x, carry):
-        new = _step(carry, cost_ref[x].astype(jnp.float32), p1, p2)
-        out_ref[x] = new.astype(out_dtype)
-        return new
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    jax.lax.fori_loop(0, s, fwd, carry0)
-
-    def bwd(i, carry):
-        x = s - 1 - i
-        new = _step(carry, cost_ref[x].astype(jnp.float32), p1, p2)
-        out_ref[x] = (out_ref[x].astype(jnp.float32) + new).astype(out_dtype)
-        return new
-
-    jax.lax.fori_loop(0, s, bwd, carry0)
+    c = carry_ref[...]
+    for s in range(s_blk):
+        c = _step(c, cost_ref[s].astype(jnp.float32), p1, p2)
+        out_ref[s] = c.astype(out_dtype)
+    carry_ref[...] = c
 
 
-def _pick_tile(s: int, l: int, d: int) -> int:
-    """Largest line-tile whose in+out blocks fit the VMEM budget (>=8)."""
-    per_line = 2 * s * d * 4  # in + out, float32, full scan extent resident
-    tile = max(8, _VMEM_BYTES // max(per_line, 1))
-    tile = 1 << (tile.bit_length() - 1)  # round down to a power of two
-    return min(tile, max(l, 1))
+def _bwd_kernel(acc_ref, cost_ref, out_ref, carry_ref, *, p1: float, p2: float):
+    """Backward scan; adds into the forward aggregation (acc aliased to out)."""
+    s_blk = cost_ref.shape[0]
+    out_dtype = out_ref.dtype
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    c = carry_ref[...]
+    for s in reversed(range(s_blk)):
+        c = _step(c, cost_ref[s].astype(jnp.float32), p1, p2)
+        out_ref[s] = (acc_ref[s].astype(jnp.float32) + c).astype(out_dtype)
+    carry_ref[...] = c
+
+
+def _pick_tl(l: int, d: int) -> int:
+    """Line-tile width: whole extent if it fits the budget, else the largest
+    multiple of 8 sublanes under both the budget and _TL_MAX."""
+    budget = max(8, _VMEM_BYTES // (_S_BLK * d * 4))
+    tl = min(l, _TL_MAX, budget)
+    return max(8, (tl // 8) * 8)
 
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "interpret"))
@@ -88,23 +115,49 @@ def scan_pair(cost: jnp.ndarray, p1: float, p2: float,
     Output dtype == input dtype (the storage/HBM-traffic dtype).
     """
     s, l, d = cost.shape
-    tile = _pick_tile(s, l, d)
-    pad = (-l) % tile
-    if pad:
-        cost = jnp.pad(cost, ((0, 0), (0, pad), (0, 0)))
-    l_pad = l + pad
+    tl = _pick_tl(l, d)
+    pad_l = (-l) % tl
+    pad_s = (-s) % _S_BLK
+    if pad_l or pad_s:
+        cost = jnp.pad(cost, ((0, pad_s), (0, pad_l), (0, 0)))
+    s_pad, l_pad = s + pad_s, l + pad_l
+    n_sb = s_pad // _S_BLK
+    n_lt = l_pad // tl
+    grid = (n_lt, n_sb)  # scan-axis blocks innermost: carry runs per line tile
 
-    out = pl.pallas_call(
-        functools.partial(_scan_pair_kernel, p1=float(p1), p2=float(p2)),
-        out_shape=jax.ShapeDtypeStruct((s, l_pad, d), cost.dtype),
-        grid=(l_pad // tile,),
+    kw = dict(p1=float(p1), p2=float(p2))
+    block = (_S_BLK, tl, d)
+    out_shape = jax.ShapeDtypeStruct((s_pad, l_pad, d), cost.dtype)
+    scratch = [pltpu.VMEM((tl, d), jnp.float32)]
+
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, **kw),
+        out_shape=out_shape,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((s, tile, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(block, lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cost)
-    return out[:, :l]
+
+    total = pl.pallas_call(
+        functools.partial(_bwd_kernel, **kw),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(block, lambda i, j: (n_sb - 1 - j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j: (n_sb - 1 - j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, lambda i, j: (n_sb - 1 - j, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(fwd, cost)
+    if pad_l or pad_s:
+        total = total[:s, :l]
+    return total
 
 
 def aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4,
