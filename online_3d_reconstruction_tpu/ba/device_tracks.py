@@ -1,0 +1,225 @@
+"""On-device sliding-window BA: track building + solve as ONE dispatch.
+
+The reference links feature tracks across its keyframe window on the host
+(std::vector bookkeeping) before its sparse CPU solve (SURVEY.md §2.1
+C10/C11). The first TPU port of that (ba/window.py) kept the track table in
+numpy, which costs a device_get of the keyframe features plus ~10 small
+host<->device transfers per keyframe event — on a relay-attached TPU that is
+hundreds of ms of pure round-trip latency per solve.
+
+This module removes the host from the loop entirely. The keyframe window
+lives on device as a fixed-shape ring (``WindowState``), and a keyframe event
+is ONE jitted call that:
+
+1. shifts the ring and appends the new keyframe (points, validity, the
+   matcher's index/valid link to the previous keyframe, pose, prior);
+2. builds landmark tracks from the match chains: each keypoint's *root* is
+   found by a ``lax.scan`` over the window slots (root = chain start id),
+   so a landmark is exactly a maximal match chain;
+3. densifies landmark ids with the same sort + boundary-cumsum trick as the
+   voxel filter (mapping/voxel.py), drops single-observation landmarks,
+   caps at the static landmark capacity (overflow *counted*, never hidden);
+4. initializes landmarks at the mean of their world-lifted observations;
+5. runs the dense-block Schur Gauss-Newton (ba/schur.py) and writes the
+   refined poses back into the ring.
+
+Everything is static-shape; no value ever returns to the host unless the
+caller explicitly pulls the stats it wants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_3d_reconstruction_tpu.ba.problem import BAProblem
+from online_3d_reconstruction_tpu.ba.schur import solve_ba
+from online_3d_reconstruction_tpu.config import BAConfig
+from online_3d_reconstruction_tpu.geometry import se3
+
+_SENTINEL = jnp.int32(2**31 - 1)
+
+
+class WindowState(NamedTuple):
+    """Device-resident keyframe window (slot 0 oldest .. count-1 newest)."""
+
+    points3d: jnp.ndarray   # (W, K, 3) camera-frame keypoint lifts
+    valid3d: jnp.ndarray    # (W, K) bool
+    match_idx: jnp.ndarray  # (W, K) int32 — link into slot k-1's keypoints
+    match_ok: jnp.ndarray   # (W, K) bool — link valid (slot 0: all False)
+    poses: jnp.ndarray      # (W, 4, 4) world-from-camera (identity when empty)
+    priors: jnp.ndarray     # (W, 4, 4) flight-log priors (bookkeeping only)
+    count: jnp.ndarray      # () int32 — live slots
+
+
+def create_window(window: int, max_keypoints: int) -> WindowState:
+    w, k = window, max_keypoints
+    # poses/priors must be distinct buffers: keyframe_step donates the state
+    # and XLA rejects donating one buffer through two leaves
+    eye = lambda: jnp.tile(jnp.eye(4, dtype=jnp.float32), (w, 1, 1))
+    return WindowState(
+        points3d=jnp.zeros((w, k, 3), jnp.float32),
+        valid3d=jnp.zeros((w, k), bool),
+        match_idx=jnp.zeros((w, k), jnp.int32),
+        match_ok=jnp.zeros((w, k), bool),
+        poses=eye(),
+        priors=eye(),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _append(state: WindowState, points3d, valid3d, match_idx, match_ok,
+            pose, prior) -> WindowState:
+    """Shift-if-full + write the new keyframe at slot min(count, W-1)."""
+    w = state.poses.shape[0]
+
+    def shift(s: WindowState) -> WindowState:
+        roll = lambda a: jnp.roll(a, -1, axis=0)
+        # the new slot 0's link pointed at the dropped keyframe: sever it
+        return WindowState(
+            points3d=roll(s.points3d),
+            valid3d=roll(s.valid3d),
+            match_idx=roll(s.match_idx),
+            match_ok=roll(s.match_ok).at[0].set(False),
+            poses=roll(s.poses),
+            priors=roll(s.priors),
+            count=jnp.int32(w - 1),
+        )
+
+    state = jax.lax.cond(state.count >= w, shift, lambda s: s, state)
+    at = state.count  # < W now
+    # a track link only counts when both endpoints have usable 3D lifts
+    # (matches ba/window.py's host gating); slot 0 never links backward
+    prev_valid = state.valid3d[jnp.maximum(at - 1, 0)]
+    link_ok = match_ok & valid3d & prev_valid[match_idx] & (at > 0)
+    return WindowState(
+        points3d=state.points3d.at[at].set(points3d),
+        valid3d=state.valid3d.at[at].set(valid3d),
+        match_idx=state.match_idx.at[at].set(match_idx),
+        match_ok=state.match_ok.at[at].set(link_ok),
+        poses=state.poses.at[at].set(pose),
+        priors=state.priors.at[at].set(prior),
+        count=at + 1,
+    )
+
+
+def _chain_roots(match_idx: jnp.ndarray, match_ok: jnp.ndarray) -> jnp.ndarray:
+    """(W, K) int32 — per keypoint, the flat id (slot*K + kp) of its chain
+    start. A keypoint with no valid link to the previous slot starts a chain."""
+    w, k = match_idx.shape
+    own = (jnp.arange(w, dtype=jnp.int32)[:, None] * k
+           + jnp.arange(k, dtype=jnp.int32)[None, :])
+
+    def step(prev_root, inp):
+        idx, ok, own_k = inp
+        root = jnp.where(ok, prev_root[idx], own_k)
+        return root, root
+
+    _, roots = jax.lax.scan(step, own[0], (match_idx, match_ok, own))
+    return roots
+
+
+def build_problem(state: WindowState, max_landmarks: int
+                  ) -> Tuple[BAProblem, dict]:
+    """Pack the window into a fixed-capacity BAProblem (pure device code).
+
+    Landmark = maximal match chain with >= 2 valid 3D observations inside the
+    live window. Returns (problem, stats) where stats holds device scalars
+    {landmarks, observations, dropped_landmarks}.
+    """
+    w, k = state.valid3d.shape
+    n = w * k
+    l_cap = max_landmarks
+
+    slot = jnp.arange(w, dtype=jnp.int32)[:, None]
+    live = slot < state.count                           # (W, 1)
+    obs_ok = (state.valid3d & live).reshape(n)
+    roots = _chain_roots(state.match_idx, state.match_ok).reshape(n)
+
+    # dense landmark ids: sort roots, boundaries -> segment ids -> filter
+    keyed = jnp.where(obs_ok, roots, _SENTINEL)
+    order = jnp.argsort(keyed)
+    sorted_r = keyed[order]
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_r[1:] != sorted_r[:-1]]
+    )
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # (N,) sorted-pos -> seg
+    ones = (sorted_r != _SENTINEL).astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=n)
+    keep = counts >= 2                                   # co-observed only
+    new_id = jnp.cumsum(keep.astype(jnp.int32)) - 1      # dense over kept segs
+    lm_sorted = jnp.where(keep[seg] & (sorted_r != _SENTINEL), new_id[seg], -1)
+    lm_flat = jnp.zeros((n,), jnp.int32).at[order].set(lm_sorted)
+
+    n_lm = jnp.sum(keep.astype(jnp.int32))
+    dropped_lm = jnp.maximum(n_lm - l_cap, 0)
+    obs_valid = obs_ok & (lm_flat >= 0) & (lm_flat < l_cap)
+    obs_lm = jnp.clip(lm_flat, 0, l_cap - 1)
+    obs_kf = jnp.repeat(jnp.arange(w, dtype=jnp.int32), k)
+    obs_pt = state.points3d.reshape(n, 3)
+
+    # landmark init: mean world lift under current poses
+    rot = state.poses[obs_kf, :3, :3]
+    t = state.poses[obs_kf, :3, 3]
+    world = jnp.einsum("nij,nj->ni", rot, obs_pt) + t
+    vf = obs_valid.astype(jnp.float32)[:, None]
+    lm_sum = jax.ops.segment_sum(world * vf, obs_lm, num_segments=l_cap)
+    lm_cnt = jax.ops.segment_sum(vf[:, 0], obs_lm, num_segments=l_cap)
+    lm_valid = lm_cnt > 0
+    lm_init = lm_sum / jnp.maximum(lm_cnt, 1.0)[:, None]
+
+    problem = BAProblem(
+        poses=state.poses,
+        landmarks=lm_init,
+        lm_valid=lm_valid,
+        obs_kf=obs_kf,
+        obs_lm=obs_lm,
+        obs_point=obs_pt,
+        obs_valid=obs_valid,
+    )
+    stats = {
+        "landmarks": jnp.minimum(n_lm, l_cap),
+        "observations": jnp.sum(obs_valid.astype(jnp.int32)),
+        "dropped_landmarks": dropped_lm,
+    }
+    return problem, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def keyframe_step(
+    state: WindowState,
+    points3d: jnp.ndarray,
+    valid3d: jnp.ndarray,
+    match_idx: jnp.ndarray,
+    match_ok: jnp.ndarray,
+    pose: jnp.ndarray,
+    prior: jnp.ndarray,
+    cfg: BAConfig,
+) -> Tuple[WindowState, jnp.ndarray, dict]:
+    """Append a keyframe and refine the window — one dispatch, no host syncs.
+
+    Returns (new state, refined poses (W, 4, 4) aligned with window slots,
+    stats dict of device scalars). When fewer than 2 keyframes are live the
+    solve degenerates gracefully (no co-observed landmarks -> damping-only
+    steps leave poses unchanged).
+    """
+    state = _append(state, points3d, valid3d, match_idx, match_ok, pose, prior)
+    problem, stats = build_problem(state, cfg.max_landmarks)
+    poses_ref, _, cost_trace = solve_ba(
+        problem,
+        iters=cfg.gn_iters,
+        damping=cfg.damping,
+        huber_delta=cfg.huber_delta,
+        anchor_first=cfg.anchor_first,
+    )
+    # only live slots move; empty slots keep identity for the next append
+    live = (jnp.arange(state.poses.shape[0]) < state.count)[:, None, None]
+    poses_new = jnp.where(live, poses_ref, state.poses)
+    state = state._replace(poses=poses_new)
+    stats = dict(stats)
+    stats["cost_initial"] = cost_trace[0]
+    stats["cost_final"] = cost_trace[-1]
+    return state, poses_new, stats

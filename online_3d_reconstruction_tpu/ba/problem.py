@@ -36,6 +36,43 @@ class BAProblem(NamedTuple):
     obs_lm: jnp.ndarray      # (N,) int32 landmark index per observation
     obs_point: jnp.ndarray   # (N, 3) float32 observed camera-frame point
     obs_valid: jnp.ndarray   # (N,) bool
+    # optional absolute pose priors (flight-log GPS/attitude): the reference
+    # composes its visual correction onto the absolute prior each frame
+    # (SURVEY.md §3.1); the BA-native equivalent is a weak unary prior
+    # residual per keyframe, which bounds dead-reckoning drift the way GPS
+    # bounds the reference's. None disables the terms.
+    priors: "jnp.ndarray | None" = None       # (W, 4, 4)
+    prior_valid: "jnp.ndarray | None" = None  # (W,) bool
+
+
+def prior_residuals(poses: jnp.ndarray, problem: BAProblem
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unary prior residuals per keyframe: (r_pos (W, 3), r_rot (W, 3)).
+
+    r_pos = t_k - t_prior;  r_rot = Log(R_k R_prior^T) (world-frame axis-angle).
+    """
+    t = poses[:, :3, 3]
+    r_pos = t - problem.priors[:, :3, 3]
+    rel = jnp.einsum("wij,wkj->wik", poses[:, :3, :3],
+                     problem.priors[:, :3, :3])  # R_k R_prior^T
+    r_rot = jax.vmap(se3.log_so3)(rel)
+    ok = problem.prior_valid[:, None]
+    return jnp.where(ok, r_pos, 0.0), jnp.where(ok, r_rot, 0.0)
+
+
+def prior_jacobians(poses: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jacobians of the prior residuals w.r.t. the left-multiplicative pose
+    tangent [rho, phi]:  t' ~= t + rho + phi x t  and  R' ~= exp(phi^) R, so
+
+        d r_pos / d[rho, phi] = [I, -[t]_x]      (3, 6)
+        d r_rot / d[rho, phi] ~= [0,  I]         (small-angle)
+    """
+    w = poses.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (w, 3, 3))
+    t_hat = se3.hat(poses[:, :3, 3])
+    j_pos = jnp.concatenate([eye, -t_hat], axis=-1)       # (W, 3, 6)
+    j_rot = jnp.concatenate([jnp.zeros_like(eye), eye], axis=-1)
+    return j_pos, j_rot
 
 
 def residuals(poses: jnp.ndarray, landmarks: jnp.ndarray,

@@ -39,11 +39,16 @@ from online_3d_reconstruction_tpu.geometry import se3
 
 
 def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
-                             huber_delta: float):
+                             huber_delta: float,
+                             prior_position_weight: float = 0.0,
+                             prior_rotation_weight: float = 0.0):
     """One pass over the observation list -> (B, C, E, g_p, g_x).
 
     This is the part a multi-device solve shards: each device accumulates
     over its observation shard, then psums the outputs (they are plain sums).
+    Absolute pose-prior terms (unary, dense in the pose blocks) are added
+    directly to B and g_p when the problem carries priors and a weight is
+    positive.
     """
     w_count = poses.shape[0]
     l_count = landmarks.shape[0]

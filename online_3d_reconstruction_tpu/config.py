@@ -122,6 +122,8 @@ class RuntimeConfig:
     keyframe_rotation: float = 0.26      # ... or rotated this much (rad)
     keyframe_min_gap: int = 1            # min frames between keyframes
     ba_every_keyframe: bool = True       # run local BA on each new keyframe
+    host_ba: bool = False                # True: host track-table BA (ba/window.py)
+                                         # False: on-device window (ba/device_tracks.py)
     checkpoint_every: int = 0            # keyframes between snapshots (0 = off)
     checkpoint_dir: str = "checkpoints"
     metrics_path: str = ""               # JSONL stage-metrics sink ("" = off)

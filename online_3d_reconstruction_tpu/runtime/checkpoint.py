@@ -64,6 +64,15 @@ def save_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
             payload[f"ba{i}_valid"] = rec.valid3d
             payload[f"ba{i}_pose"] = rec.pose
             payload[f"ba{i}_lm"] = rec.lm_of_kp
+    if engine._ba_state is not None:
+        engine._flush_ba_events()  # refinements land in the saved trajectory
+        payload["trajectory"] = np.asarray(
+            engine.trajectory, dtype=np.float32
+        ).reshape(-1, 4, 4)
+        s = engine._ba_state
+        for name in ("points3d", "valid3d", "match_idx", "match_ok",
+                     "poses", "priors", "count"):
+            payload[f"bawin_{name}"] = np.asarray(getattr(s, name))
 
     directory = os.path.dirname(os.path.abspath(path))
     os.makedirs(directory, exist_ok=True)
@@ -126,6 +135,24 @@ def load_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
                     prior_pose=jnp.asarray(z[f"kf{i}_prior"]),
                 )
             )
+        if engine.keyframes:
+            # the keyframe policy compares priors relative to the last keyframe
+            engine._last_kf_prior = np.asarray(
+                engine.keyframes[-1].prior_pose, dtype=np.float64
+            )
+        if engine._ba_state is not None and "bawin_poses" in z:
+            from online_3d_reconstruction_tpu.ba.device_tracks import WindowState
+
+            engine._ba_state = WindowState(
+                points3d=jnp.asarray(z["bawin_points3d"]),
+                valid3d=jnp.asarray(z["bawin_valid3d"]),
+                match_idx=jnp.asarray(z["bawin_match_idx"]),
+                match_ok=jnp.asarray(z["bawin_match_ok"]),
+                poses=jnp.asarray(z["bawin_poses"]),
+                priors=jnp.asarray(z["bawin_priors"]),
+                count=jnp.asarray(z["bawin_count"]),
+            )
+            engine._ba_events = []
         if engine._ba is not None and "ba_n_kf" in z:
             engine._ba.keyframes = []
             engine._ba._next_lm = int(z["ba_next_lm"])

@@ -56,6 +56,14 @@ class DistributedReconstructor(OnlineReconstructor):
 
     def __init__(self, config: PipelineConfig, rig: RectifiedRig, mesh: Mesh,
                  sgm_halo: int = 32):
+        if config.runtime.ba_every_keyframe:
+            # the observation-sharded Schur solver plugs into the host
+            # track-table packer; force that BA backend
+            import dataclasses
+
+            config = config.replace(
+                runtime=dataclasses.replace(config.runtime, host_ba=True)
+            )
         super().__init__(config, rig)
         self.mesh = mesh
         self.sgm_halo = sgm_halo
@@ -64,6 +72,31 @@ class DistributedReconstructor(OnlineReconstructor):
                 config.ba,
                 solver=functools.partial(solve_ba_sharded, mesh=mesh),
             )
+
+    def _run_steady_step(self, packed, hostvec, kf, fuse):
+        """Sharded stages can't fuse into the single-dispatch steady step
+        (the SGM slabs and BA shards are separate shard_map programs), so the
+        distributed loop keeps the 3-stage structure."""
+        import jax.numpy as jnp
+
+        from online_3d_reconstruction_tpu.odometry.frontend import tracking_step
+        from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
+
+        cfg = self.cfg
+        disp, feats, cloud = self._compute_frame(
+            jnp.asarray(packed[..., 0]), jnp.asarray(packed[..., 1]),
+            jnp.asarray(packed[..., 2:5]),
+        )
+        prior = jnp.asarray(hostvec[:16].reshape(4, 4))
+        pose, used_vo, count, matches = tracking_step(
+            feats, kf.features, kf.pose, kf.prior_pose, prior,
+            self._key, jnp.int32(int(hostvec[16])),
+            cfg.matching, cfg.odometry,
+        )
+        gmap = self.gmap
+        if fuse:
+            gmap = _fusion_stage(gmap, cloud, pose)
+        return gmap, pose, feats, used_vo, count, matches
 
     def _compute_frame(self, left, right, color):
         cfg = self.cfg

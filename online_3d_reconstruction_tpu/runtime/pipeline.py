@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from online_3d_reconstruction_tpu.ba.device_tracks import (
+    create_window,
+    keyframe_step as ba_keyframe_step,
+)
 from online_3d_reconstruction_tpu.ba.window import WindowBA
 from online_3d_reconstruction_tpu.config import PipelineConfig
 from online_3d_reconstruction_tpu.geometry import se3
@@ -91,6 +95,57 @@ def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> Glob
     return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
 
 
+@partial(jax.jit,
+         static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
+                          "match_cfg", "fuse"),
+         donate_argnums=(0,))
+def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
+                 kf_feats, kf_pose, kf_prior, key,
+                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
+                 fuse: bool):
+    """The ENTIRE steady-state frame as one dispatch.
+
+    On a relay-attached TPU every dispatch and host->device transfer pays a
+    fixed round-trip latency, so the loop ships one packed (H, W, 5) image
+    tensor (left | right | rgb) plus one 20-float host vector (prior pose,
+    frame index) and runs rectify -> SGM -> features -> backproject ->
+    tracking -> fusion in a single XLA program. Returns
+    (gmap', pose, feats, used_vo, inlier_count, matches).
+    """
+    left, right, color = packed[..., 0], packed[..., 1], packed[..., 2:5]
+    prior = hostvec[:16].reshape(4, 4)
+    frame_idx = hostvec[16].astype(jnp.int32)
+
+    left_r, right_r = rectify_pair(left, right, map_left, map_right)
+    color_r = remap_bilinear(color, map_left)
+    disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
+    feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
+    cloud = backproject_disparity(
+        disp, color_r, q,
+        stride=map_cfg.frame_point_stride,
+        min_depth=map_cfg.min_depth,
+        max_depth=map_cfg.max_depth,
+        invalid_value=stereo_cfg.invalid_value,
+    )
+    pose, used_vo, count, matches = tracking_step(
+        feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
+        match_cfg, odo_cfg,
+    )
+    if fuse:
+        world_pts = se3.transform_points(pose, cloud.points)
+        gmap = insert_cloud(gmap, PointCloud(world_pts, cloud.colors,
+                                             cloud.valid))
+    return gmap, pose, feats, used_vo, count, matches
+
+
+def pack_frame(frame: FrameData) -> np.ndarray:
+    """Host-side packing of (left, right, color) into one (H, W, 5) upload."""
+    return np.concatenate(
+        [frame.left[..., None], frame.right[..., None], frame.color],
+        axis=2, dtype=np.float32,
+    )
+
+
 class OnlineReconstructor:
     """Streaming driver: feed ``FrameData``, read back trajectory + map."""
 
@@ -106,6 +161,10 @@ class OnlineReconstructor:
         self.map_right = jnp.asarray(rig.map_right)
         self.gmap = create_map(config.mapping.map_capacity)
         self._capacity = config.mapping.map_capacity
+        s = config.mapping.frame_point_stride
+        self._frame_points = (
+            -(-config.stereo.height // s) * -(-config.stereo.width // s)
+        )
         self._host_cursor = 0
         self._last_kf_prior = np.eye(4)
         self._pending_vo: List = []   # deferred (frame, used_vo, count) scalars
@@ -115,7 +174,22 @@ class OnlineReconstructor:
         self._frames_since_fuse = 0
         self._key = jax.random.PRNGKey(config.odometry.seed)
         self.metrics = MetricsLogger(config.runtime.metrics_path)
-        self._ba = WindowBA(config.ba) if config.runtime.ba_every_keyframe else None
+        # BA backends: the on-device window (default — one dispatch per
+        # keyframe, zero host syncs) or the host track-table (host_ba=True,
+        # also used by the observation-sharded distributed solver)
+        self._ba = None
+        self._ba_state = None
+        self._ba_events: List = []   # (kf_indices, refined (W,4,4) handle)
+        if config.runtime.ba_every_keyframe:
+            if config.runtime.host_ba:
+                self._ba = WindowBA(config.ba)
+            else:
+                self._ba_state = create_window(
+                    config.ba.window, config.features.max_keypoints
+                )
+                k = config.features.max_keypoints
+                self._no_match = (jnp.zeros((k,), jnp.int32),
+                                  jnp.zeros((k,), bool))
         self._t_start = None
 
     # -- keyframe policy (reference: new keyframe on sufficient motion) -----
@@ -148,6 +222,19 @@ class OnlineReconstructor:
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
         )
 
+    def _run_steady_step(self, packed: np.ndarray, hostvec: np.ndarray,
+                         kf: "_Keyframe", fuse: bool):
+        """One fused device dispatch for a steady-state frame; the
+        DistributedReconstructor overrides this with its sharded stages."""
+        cfg = self.cfg
+        return _steady_step(
+            self.gmap, jnp.asarray(packed), jnp.asarray(hostvec),
+            self.map_left, self.map_right, self.q,
+            kf.features, kf.pose, kf.prior_pose, self._key,
+            cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+            cfg.matching, fuse,
+        )
+
     def process(self, frame: FrameData) -> dict:
         """Run one frame through the full pipeline; returns frame metrics."""
         if self._t_start is None:
@@ -156,26 +243,34 @@ class OnlineReconstructor:
         cfg = self.cfg
         prior = jnp.asarray(frame.prior_pose, dtype=jnp.float32)
 
-        with timer.stage("frame_compute"):
-            disp, feats, cloud = self._compute_frame(
-                jnp.asarray(frame.left), jnp.asarray(frame.right),
-                jnp.asarray(frame.color),
-            )
-
         used_vo: object = False
         inliers: object = 0
         matches = None
+        fused = False
+        fuse = self._frames_since_fuse + 1 >= cfg.mapping.fuse_every
         if not self.keyframes:
-            pose = prior  # first frame anchors the world to the prior
+            # first frame: anchor the world to the prior (no tracking target)
+            with timer.stage("frame_compute"):
+                disp, feats, cloud = self._compute_frame(
+                    jnp.asarray(frame.left), jnp.asarray(frame.right),
+                    jnp.asarray(frame.color),
+                )
+            pose = prior
+            if fuse:
+                with timer.stage("fusion"):
+                    self.gmap = _fusion_stage(self.gmap, cloud, pose)
+                fused = True
         else:
             kf = self.keyframes[-1]
-            with timer.stage("odometry"):
-                # one fused dispatch: prior-rel, RNG fold-in, VO, composition
-                pose, used_vo_j, count, matches = tracking_step(
-                    feats, kf.features, kf.pose, kf.prior_pose, prior,
-                    self._key, jnp.int32(self.frame_idx),
-                    cfg.matching, cfg.odometry,
+            with timer.stage("step"):
+                hostvec = np.zeros(20, dtype=np.float32)
+                hostvec[:16] = np.asarray(frame.prior_pose,
+                                          dtype=np.float32).ravel()
+                hostvec[16] = self.frame_idx
+                self.gmap, pose, feats, used_vo_j, count, matches = (
+                    self._run_steady_step(pack_frame(frame), hostvec, kf, fuse)
                 )
+                fused = fuse
                 if cfg.runtime.sync_metrics:
                     used_vo = bool(used_vo_j)   # forces a device sync
                     inliers = int(count)
@@ -192,7 +287,26 @@ class OnlineReconstructor:
                 _Keyframe(index=self.frame_idx, features=feats, pose=pose,
                           prior_pose=prior)
             )
-            if self._ba is not None:
+            if self._ba_state is not None:
+                with timer.stage("ba"):
+                    m_idx, m_ok = (
+                        (matches.index, matches.valid)
+                        if matches is not None else self._no_match
+                    )
+                    self._ba_state, refined, _ = ba_keyframe_step(
+                        self._ba_state, feats.points3d, feats.valid3d,
+                        m_idx, m_ok, pose, prior, self.cfg.ba,
+                    )
+                    # the newest slot's refined pose seeds the next tracking
+                    # step; trajectory entries are patched in bulk at finish()
+                    live = min(len(self.keyframes), self.cfg.ba.window)
+                    self.keyframes[-1] = self.keyframes[-1]._replace(
+                        pose=refined[live - 1]
+                    )
+                    self._ba_events.append(
+                        ([k.index for k in self.keyframes[-live:]], refined)
+                    )
+            elif self._ba is not None:
                 with timer.stage("ba"):
                     # one bulk device->host pull for the track bookkeeping
                     pts_np, v3d_np, pose_np, m_idx, m_ok = jax.device_get(
@@ -212,16 +326,14 @@ class OnlineReconstructor:
 
         with timer.stage("fusion"):
             self._frames_since_fuse += 1
-            frame_points = cloud.points.shape[0]
-            if self._frames_since_fuse >= cfg.mapping.fuse_every:
+            if fused:
                 self._frames_since_fuse = 0
-                self.gmap = _fusion_stage(self.gmap, cloud, pose)
-                self._host_cursor += frame_points  # upper bound, no device sync
+                self._host_cursor += self._frame_points  # upper bound, no sync
             periodic = (
                 cfg.mapping.downsample_every > 0
                 and (self.frame_idx + 1) % cfg.mapping.downsample_every == 0
             )
-            if periodic or self._host_cursor + frame_points >= self._capacity:
+            if periodic or self._host_cursor + self._frame_points >= self._capacity:
                 self.gmap = downsample_map(
                     self.gmap, cfg.mapping.voxel_size, cfg.mapping.bounds
                 )
@@ -251,6 +363,18 @@ class OnlineReconstructor:
         self.metrics.log(record)
         self.frame_idx += 1
         return record
+
+    def _flush_ba_events(self) -> None:
+        """Apply deferred device-BA refinements to the trajectory: one bulk
+        pull, then each keyframe entry gets the newest estimate that saw it."""
+        if not self._ba_events:
+            return
+        refined_all = jax.device_get([r for _, r in self._ba_events])
+        for (kf_indices, _), ref in zip(self._ba_events, refined_all):
+            for slot, idx in enumerate(kf_indices):
+                if idx < len(self.trajectory):
+                    self.trajectory[idx] = ref[slot]
+        self._ba_events = []
 
     def _run_window_ba(self) -> None:
         """Refine the sliding keyframe window and sync pipeline state."""
@@ -283,6 +407,7 @@ class OnlineReconstructor:
                     self.metrics.records[idx]["used_vo"] = bool(u)
                     self.metrics.records[idx]["vo_inliers"] = int(c)
             self._pending_vo = []
+        self._flush_ba_events()
         summary = self.metrics.summary()
         summary["frames"] = self.frame_idx
         summary["keyframes"] = len(self.keyframes)
