@@ -179,6 +179,8 @@ def build_problem(state: WindowState, max_landmarks: int
         obs_lm=obs_lm,
         obs_point=obs_pt,
         obs_valid=obs_valid,
+        priors=state.priors,
+        prior_valid=live[:, 0],
     )
     stats = {
         "landmarks": jnp.minimum(n_lm, l_cap),
@@ -188,8 +190,7 @@ def build_problem(state: WindowState, max_landmarks: int
     return problem, stats
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def keyframe_step(
+def keyframe_core(
     state: WindowState,
     points3d: jnp.ndarray,
     valid3d: jnp.ndarray,
@@ -199,7 +200,9 @@ def keyframe_step(
     prior: jnp.ndarray,
     cfg: BAConfig,
 ) -> Tuple[WindowState, jnp.ndarray, dict]:
-    """Append a keyframe and refine the window — one dispatch, no host syncs.
+    """Append a keyframe and refine the window (traceable body; see
+    ``keyframe_step`` for the standalone jitted form — the online loop
+    inlines this into its single per-frame dispatch instead).
 
     Returns (new state, refined poses (W, 4, 4) aligned with window slots,
     stats dict of device scalars). When fewer than 2 keyframes are live the
@@ -208,12 +211,18 @@ def keyframe_step(
     """
     state = _append(state, points3d, valid3d, match_idx, match_ok, pose, prior)
     problem, stats = build_problem(state, cfg.max_landmarks)
+    # absolute priors on position AND rotation fix the gauge completely (and
+    # bound drift); the hard first-pose anchor would pin the window to its
+    # own dead-reckoned drift, so it only applies when priors are off
+    full_priors = cfg.prior_position_weight > 0 and cfg.prior_rotation_weight > 0
     poses_ref, _, cost_trace = solve_ba(
         problem,
         iters=cfg.gn_iters,
         damping=cfg.damping,
         huber_delta=cfg.huber_delta,
-        anchor_first=cfg.anchor_first,
+        anchor_first=cfg.anchor_first and not full_priors,
+        prior_position_weight=cfg.prior_position_weight,
+        prior_rotation_weight=cfg.prior_rotation_weight,
     )
     # only live slots move; empty slots keep identity for the next append
     live = (jnp.arange(state.poses.shape[0]) < state.count)[:, None, None]

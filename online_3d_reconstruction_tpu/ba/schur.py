@@ -32,6 +32,8 @@ from online_3d_reconstruction_tpu.ba.problem import (
     BAProblem,
     huber_weights,
     jacobians,
+    prior_jacobians,
+    prior_residuals,
     residuals,
     total_cost,
 )
@@ -71,6 +73,24 @@ def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
     c_blocks = jax.ops.segment_sum(hx, problem.obs_lm, num_segments=l_count)
     g_p = jax.ops.segment_sum(gp_obs, problem.obs_kf, num_segments=w_count)
     g_x = jax.ops.segment_sum(gx_obs, problem.obs_lm, num_segments=l_count)
+
+    use_priors = problem.priors is not None and (
+        prior_position_weight > 0 or prior_rotation_weight > 0
+    )
+    if use_priors:
+        r_pos, r_rot = prior_residuals(poses, problem)
+        j_pos, j_rot = prior_jacobians(poses)
+        wv = problem.prior_valid.astype(jnp.float32)
+        wp = prior_position_weight * wv
+        wr = prior_rotation_weight * wv
+        b_blocks = b_blocks + (
+            wp[:, None, None] * jnp.einsum("wij,wik->wjk", j_pos, j_pos)
+            + wr[:, None, None] * jnp.einsum("wij,wik->wjk", j_rot, j_rot)
+        )
+        g_p = g_p + (
+            wp[:, None] * jnp.einsum("wij,wi->wj", j_pos, r_pos)
+            + wr[:, None] * jnp.einsum("wij,wi->wj", j_rot, r_rot)
+        )
     e_dense = jnp.zeros((w_count, l_count, 6, 3), dtype=jnp.float32)
     e_dense = e_dense.at[problem.obs_kf, problem.obs_lm].add(e_obs)
     return b_blocks, c_blocks, e_dense, g_p, g_x
@@ -112,21 +132,39 @@ def schur_solve(b_blocks, c_blocks, e_dense, g_p, g_x,
     return dp, dx
 
 
-@partial(jax.jit, static_argnames=("iters", "damping", "huber_delta", "anchor_first"))
+@partial(jax.jit, static_argnames=("iters", "damping", "huber_delta",
+                                   "anchor_first", "prior_position_weight",
+                                   "prior_rotation_weight"))
 def solve_ba(problem: BAProblem, iters: int = 5, damping: float = 1e-4,
-             huber_delta: float = 0.5, anchor_first: bool = True
+             huber_delta: float = 0.5, anchor_first: bool = True,
+             prior_position_weight: float = 0.0,
+             prior_rotation_weight: float = 0.0,
              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``iters`` damped-GN steps. Returns (poses, landmarks, cost_trace).
 
     cost_trace has iters+1 entries (cost before each step and after the last)
     — the test suite asserts monotone decrease on synthetic problems.
     """
+    use_priors = problem.priors is not None and (
+        prior_position_weight > 0 or prior_rotation_weight > 0
+    )
+
+    def cost_fn(poses, landmarks):
+        c = total_cost(poses, landmarks, problem, huber_delta)
+        if use_priors:
+            r_pos, r_rot = prior_residuals(poses, problem)
+            c = c + 0.5 * (
+                prior_position_weight * jnp.sum(r_pos * r_pos)
+                + prior_rotation_weight * jnp.sum(r_rot * r_rot)
+            )
+        return c
 
     def step(state, _):
         poses, landmarks = state
-        cost_before = total_cost(poses, landmarks, problem, huber_delta)
+        cost_before = cost_fn(poses, landmarks)
         b_blocks, c_blocks, e_dense, g_p, g_x = accumulate_normal_blocks(
-            poses, landmarks, problem, huber_delta
+            poses, landmarks, problem, huber_delta,
+            prior_position_weight, prior_rotation_weight,
         )
         dp, dx = schur_solve(b_blocks, c_blocks, e_dense, g_p, g_x,
                              damping, anchor_first)
@@ -134,7 +172,7 @@ def solve_ba(problem: BAProblem, iters: int = 5, damping: float = 1e-4,
         new_landmarks = jnp.where(problem.lm_valid[:, None], landmarks + dx,
                                   landmarks)
         # reject a diverging step (cost-increase guard, LM-style)
-        cost_after = total_cost(new_poses, new_landmarks, problem, huber_delta)
+        cost_after = cost_fn(new_poses, new_landmarks)
         accept = cost_after < cost_before
         poses = jnp.where(accept, new_poses, poses)
         landmarks = jnp.where(accept, new_landmarks, landmarks)
@@ -143,5 +181,5 @@ def solve_ba(problem: BAProblem, iters: int = 5, damping: float = 1e-4,
     (poses, landmarks), trace = jax.lax.scan(
         step, (problem.poses, problem.landmarks), None, length=iters
     )
-    final_cost = total_cost(poses, landmarks, problem, huber_delta)
+    final_cost = cost_fn(poses, landmarks)
     return poses, landmarks, jnp.concatenate([trace, final_cost[None]])

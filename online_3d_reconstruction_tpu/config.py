@@ -98,6 +98,16 @@ class BAConfig:
     damping: float = 1e-4            # Levenberg-Marquardt lambda
     huber_delta: float = 0.5         # robust loss width (metres)
     anchor_first: bool = True        # gauge fix: freeze the first pose in window
+                                     # (ignored when both prior weights > 0 —
+                                     # absolute priors then fix the gauge)
+    # absolute flight-log prior terms (GPS-aided BA): 1/sigma^2 information
+    # weights. The absolute-translation mode of the window is observable ONLY
+    # through these, so even weak priors bound drift; strong priors would
+    # inject the (independent) per-record GPS noise into the *relative* poses
+    # the visual terms measure far better. Defaults assume ~1 m / ~0.1 rad
+    # effective confidence; 0 disables (anchor_first then fixes the gauge).
+    prior_position_weight: float = 1.0
+    prior_rotation_weight: float = 100.0
 
 
 @dataclass(frozen=True)

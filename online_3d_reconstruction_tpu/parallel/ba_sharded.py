@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from online_3d_reconstruction_tpu.ba.problem import BAProblem, total_cost
+from online_3d_reconstruction_tpu.ba.problem import (
+    BAProblem,
+    prior_jacobians,
+    prior_residuals,
+    total_cost,
+)
 from online_3d_reconstruction_tpu.ba.schur import (
     accumulate_normal_blocks,
     schur_solve,
@@ -55,12 +60,19 @@ def solve_ba_sharded(
     damping: float = 1e-4,
     huber_delta: float = 0.5,
     anchor_first: bool = True,
+    prior_position_weight: float = 0.0,
+    prior_rotation_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in distributed version of ba.schur.solve_ba.
 
     Same signature + a mesh; observations are sharded over the mesh axis and
-    the normal blocks psum-reduced. Returns (poses, landmarks, cost_trace).
+    the normal blocks psum-reduced. Absolute-prior terms are unary in the
+    (replicated) poses, so they are added once after the psum rather than
+    inside the observation shards. Returns (poses, landmarks, cost_trace).
     """
+    use_priors = problem.priors is not None and (
+        prior_position_weight > 0 or prior_rotation_weight > 0
+    )
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     problem = _pad_observations(problem, n_dev)
@@ -82,20 +94,45 @@ def solve_ba_sharded(
 
     @jax.jit
     def run(problem: BAProblem):
+        def cost_fn(poses, landmarks):
+            cost = total_cost(poses, landmarks, problem, huber_delta)
+            if use_priors:
+                r_pos, r_rot = prior_residuals(poses, problem)
+                cost = cost + 0.5 * (
+                    prior_position_weight * jnp.sum(r_pos * r_pos)
+                    + prior_rotation_weight * jnp.sum(r_rot * r_rot)
+                )
+            return cost
+
+        def add_prior_blocks(poses, b, g_p):
+            if not use_priors:
+                return b, g_p
+            r_pos, r_rot = prior_residuals(poses, problem)
+            j_pos, j_rot = prior_jacobians(poses)
+            wv = problem.prior_valid.astype(jnp.float32)
+            wp = prior_position_weight * wv
+            wr = prior_rotation_weight * wv
+            b = b + (wp[:, None, None] * jnp.einsum("wij,wik->wjk", j_pos, j_pos)
+                     + wr[:, None, None] * jnp.einsum("wij,wik->wjk", j_rot, j_rot))
+            g_p = g_p + (wp[:, None] * jnp.einsum("wij,wi->wj", j_pos, r_pos)
+                         + wr[:, None] * jnp.einsum("wij,wi->wj", j_rot, r_rot))
+            return b, g_p
+
         def step(state, _):
             poses, landmarks = state
-            cost_before = total_cost(poses, landmarks, problem, huber_delta)
+            cost_before = cost_fn(poses, landmarks)
             b, c, e, g_p, g_x = acc(
                 poses, landmarks, problem.lm_valid,
                 problem.obs_kf, problem.obs_lm, problem.obs_point,
                 problem.obs_valid,
             )
+            b, g_p = add_prior_blocks(poses, b, g_p)
             dp, dx = schur_solve(b, c, e, g_p, g_x, damping, anchor_first)
             new_poses = jax.vmap(se3.retract)(poses, dp)
             new_landmarks = jnp.where(
                 problem.lm_valid[:, None], landmarks + dx, landmarks
             )
-            cost_after = total_cost(new_poses, new_landmarks, problem, huber_delta)
+            cost_after = cost_fn(new_poses, new_landmarks)
             accept = cost_after < cost_before
             poses = jnp.where(accept, new_poses, poses)
             landmarks = jnp.where(accept, new_landmarks, landmarks)
@@ -104,7 +141,7 @@ def solve_ba_sharded(
         (poses, landmarks), trace = jax.lax.scan(
             step, (problem.poses, problem.landmarks), None, length=iters
         )
-        final = total_cost(poses, landmarks, problem, huber_delta)
+        final = cost_fn(poses, landmarks)
         return poses, landmarks, jnp.concatenate([trace, final[None]])
 
     return run(problem)

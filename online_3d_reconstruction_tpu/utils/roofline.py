@@ -70,7 +70,12 @@ class RooflinePoint:
 
 
 def measure(fn: Callable, args, n: int = 5) -> float:
-    """Median wall-clock of fn(*args) with full blocking (post-warmup)."""
+    """Median wall-clock of fn(*args) with full blocking (post-warmup).
+
+    Includes one dispatch's host->device round trip — on a relay-attached
+    chip that is tens of ms. Use ``measure_amortized`` for kernel-quality
+    numbers.
+    """
     out = fn(*args)
     jax.block_until_ready(out)
     times = []
@@ -79,6 +84,51 @@ def measure(fn: Callable, args, n: int = 5) -> float:
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3) -> float:
+    """Per-invocation seconds of ``fn`` with dispatch overhead removed.
+
+    Runs ``fn`` 1x and ``inner``x inside single jitted ``lax.scan`` loops
+    (each iteration's output feeds a negligible perturbation of the next
+    iteration's input, so XLA cannot elide or overlap the repeats), times
+    both with a forced host fetch (``block_until_ready`` can return early
+    through the relay), and reports the slope (t_inner - t_1)/(inner - 1).
+    """
+    import jax.numpy as jnp
+
+    def make(length: int):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                perturbed, used = [], False
+                for x in a:
+                    if not used and hasattr(x, "dtype") and x.dtype == jnp.float32:
+                        perturbed.append(x + carry)
+                        used = True
+                    else:
+                        perturbed.append(x)
+                out = fn(*perturbed)
+                # reduce over EVERY output leaf: a single-element probe would
+                # let XLA dead-code-eliminate the rest of the computation
+                total = sum(
+                    leaf.astype(jnp.float32).sum()
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return total * 1e-30, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return c
+
+        return run
+
+    one, many = make(1), make(inner)
+    float(one(*args)), float(many(*args))  # compile both
+    t1s, tns = [], []
+    for _ in range(n):
+        t0 = time.perf_counter(); float(one(*args)); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(many(*args)); tns.append(time.perf_counter() - t0)
+    return max(float(np.median(tns) - np.median(t1s)) / (inner - 1), 1e-9)
 
 
 # --------------------------------------------------------------------------

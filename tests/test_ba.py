@@ -180,3 +180,69 @@ class TestWindowBA:
         wba.solve_window()
         assert wba.last_stats["dropped_landmarks"] > 0
         assert wba.last_stats["observations"] == 6
+
+
+class TestPosePriors:
+    def _with_priors(self, rng, rot_offset=0.0):
+        problem, gt_poses, _ = _make_problem(rng, w=3, l=8)
+        priors = np.asarray(gt_poses, np.float32).copy()
+        if rot_offset:
+            for k in range(1, 3):
+                xi = np.zeros(6, np.float32)
+                xi[3:] = rng.normal(0, rot_offset, 3)
+                priors[k] = np.asarray(se3.retract(jnp.asarray(priors[k]),
+                                                   jnp.asarray(xi)))
+        return problem._replace(
+            priors=jnp.asarray(priors),
+            prior_valid=jnp.ones(3, bool),
+        )
+
+    def test_position_prior_gradient_matches_jax_grad(self):
+        from online_3d_reconstruction_tpu.ba.problem import prior_residuals
+        rng = np.random.default_rng(21)
+        problem = self._with_priors(rng)
+        w_pos = 7.0
+
+        def cost_fn(xi):
+            poses = jax.vmap(se3.retract)(problem.poses, xi)
+            r_pos, _ = prior_residuals(poses, problem)
+            return (total_cost(poses, problem.landmarks, problem, 0.0)
+                    + 0.5 * w_pos * jnp.sum(r_pos * r_pos))
+
+        g_auto = jax.grad(cost_fn)(jnp.zeros((3, 6)))
+        _, _, _, g_p, _ = accumulate_normal_blocks(
+            problem.poses, problem.landmarks, problem, 0.0,
+            prior_position_weight=w_pos,
+        )
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_auto),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_priors_only_solve_snaps_to_priors(self):
+        """No visual observations: the solve must land on the priors."""
+        rng = np.random.default_rng(22)
+        problem = self._with_priors(rng)
+        problem = problem._replace(obs_valid=jnp.zeros_like(problem.obs_valid))
+        poses, _, _ = solve_ba(problem, iters=6, damping=1e-6,
+                               huber_delta=0.0, anchor_first=False,
+                               prior_position_weight=50.0,
+                               prior_rotation_weight=50.0)
+        np.testing.assert_allclose(np.asarray(poses),
+                                   np.asarray(problem.priors),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_sharded_prior_solve_matches_single_device(self):
+        import jax as _jax
+        from jax.sharding import Mesh
+        from online_3d_reconstruction_tpu.parallel.ba_sharded import solve_ba_sharded
+
+        rng = np.random.default_rng(23)
+        problem = self._with_priors(rng, rot_offset=0.01)
+        kw = dict(iters=4, damping=1e-4, huber_delta=0.3, anchor_first=False,
+                  prior_position_weight=20.0, prior_rotation_weight=100.0)
+        single = solve_ba(problem, **kw)
+        mesh = Mesh(np.array(_jax.devices()[:4]), ("obs",))
+        sharded = solve_ba_sharded(problem, mesh, **kw)
+        np.testing.assert_allclose(np.asarray(single[0]),
+                                   np.asarray(sharded[0]), atol=1e-4)
+        np.testing.assert_allclose(float(single[2][-1]),
+                                   float(sharded[2][-1]), rtol=1e-5)

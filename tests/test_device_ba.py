@@ -142,7 +142,8 @@ class TestKeyframeStep:
     def test_refines_toward_ground_truth(self):
         rng = np.random.default_rng(7)
         frames, gt_poses, noisy_poses = _chain_scenario(rng, n_kf=3, k_kp=64)
-        cfg = BAConfig(window=4, max_landmarks=128, max_obs=512, gn_iters=6)
+        cfg = BAConfig(window=4, max_landmarks=128, max_obs=512, gn_iters=6,
+                       prior_position_weight=0.0, prior_rotation_weight=0.0)
         state = create_window(cfg.window, 64)
         for k, f in enumerate(frames):
             state, refined, stats = keyframe_step(
@@ -161,7 +162,8 @@ class TestKeyframeStep:
         rng = np.random.default_rng(9)
         n_kf, w = 6, 3
         frames, _, _ = _chain_scenario(rng, n_kf=n_kf, k_kp=16, pose_noise=0.0)
-        cfg = BAConfig(window=w, max_landmarks=64, max_obs=256, gn_iters=1)
+        cfg = BAConfig(window=w, max_landmarks=64, max_obs=256, gn_iters=1,
+                       prior_position_weight=0.0, prior_rotation_weight=0.0)
         state = create_window(w, 16)
         for k, f in enumerate(frames):
             state, refined, stats = keyframe_step(
@@ -179,7 +181,8 @@ class TestKeyframeStep:
     def test_first_keyframe_is_noop_solve(self):
         rng = np.random.default_rng(3)
         frames, _, _ = _chain_scenario(rng, n_kf=1, k_kp=16)
-        cfg = BAConfig(window=4, max_landmarks=32, max_obs=64, gn_iters=3)
+        cfg = BAConfig(window=4, max_landmarks=32, max_obs=64, gn_iters=3,
+                       prior_position_weight=0.0, prior_rotation_weight=0.0)
         state = create_window(cfg.window, 16)
         f = frames[0]
         state, refined, stats = keyframe_step(
@@ -190,3 +193,52 @@ class TestKeyframeStep:
         )
         np.testing.assert_allclose(np.asarray(refined)[0], f["pose"], atol=1e-5)
         assert int(state.count) == 1
+
+
+class TestPoseePriors:
+    def test_priors_bound_dead_reckoning_drift(self):
+        """Drifted window poses + GT-quality priors: the prior terms pull the
+        absolute trajectory back while visual links keep relative structure."""
+        rng = np.random.default_rng(11)
+        n_kf = 4
+        frames, gt_poses, _ = _chain_scenario(rng, n_kf=n_kf, k_kp=64,
+                                              pose_noise=0.0)
+        # simulate dead-reckoning drift: growing common-mode offset
+        drift = np.array([0.3, -0.2, 0.15], np.float32)
+        cfg = BAConfig(window=4, max_landmarks=128, max_obs=512, gn_iters=8,
+                       prior_position_weight=40.0, prior_rotation_weight=2500.0)
+        state = create_window(cfg.window, 64)
+        for k, f in enumerate(frames):
+            drifted = f["pose"].copy()
+            drifted[:3, 3] += drift * k
+            state, refined, stats = keyframe_step(
+                state,
+                jnp.asarray(f["points3d"]), jnp.asarray(f["valid3d"]),
+                jnp.asarray(f["match_idx"]), jnp.asarray(f["match_ok"]),
+                jnp.asarray(drifted), jnp.asarray(gt_poses[k]), cfg,
+            )
+        refined = np.asarray(refined)
+        for k in range(n_kf):
+            err = np.linalg.norm(refined[k][:3, 3] - gt_poses[k][:3, 3])
+            assert err < 0.12, (k, err)
+
+    def test_zero_weights_ignore_priors(self):
+        """weights=0 must reproduce the anchored pure-visual solve exactly."""
+        rng = np.random.default_rng(12)
+        frames, _, _ = _chain_scenario(rng, n_kf=3, k_kp=32)
+        cfg0 = BAConfig(window=4, max_landmarks=64, max_obs=256, gn_iters=4,
+                        prior_position_weight=0.0, prior_rotation_weight=0.0)
+        state = create_window(cfg0.window, 32)
+        outs = []
+        for variant_prior in (True, False):
+            st = create_window(cfg0.window, 32)
+            for k, f in enumerate(frames):
+                prior = f["pose"] if variant_prior else np.eye(4, dtype=np.float32)
+                st, refined, _ = keyframe_step(
+                    st,
+                    jnp.asarray(f["points3d"]), jnp.asarray(f["valid3d"]),
+                    jnp.asarray(f["match_idx"]), jnp.asarray(f["match_ok"]),
+                    jnp.asarray(f["pose"]), jnp.asarray(prior), cfg0,
+                )
+            outs.append(np.asarray(refined))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
