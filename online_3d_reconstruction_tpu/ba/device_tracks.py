@@ -232,3 +232,8 @@ def keyframe_core(
     stats["cost_initial"] = cost_trace[0]
     stats["cost_final"] = cost_trace[-1]
     return state, poses_new, stats
+
+
+# standalone jitted form: one dispatch per keyframe event, state donated
+keyframe_step = partial(jax.jit, static_argnames=("cfg",),
+                        donate_argnums=(0,))(keyframe_core)

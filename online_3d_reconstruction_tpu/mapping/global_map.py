@@ -76,6 +76,47 @@ def needs_downsample(gmap: GlobalMap, frame_points: int) -> jnp.ndarray:
     return gmap.cursor + frame_points >= gmap.points.shape[0]
 
 
+@partial(jax.jit, static_argnames=("voxel_size", "bounds"),
+         donate_argnums=(0, 1))
+def flush_staging(gmap: GlobalMap, staging: GlobalMap, voxel_size: float,
+                  bounds: float = 2048.0) -> Tuple[GlobalMap, GlobalMap]:
+    """Voxelize the (small) staging pool and append its survivors to the
+    main pool; returns (main', empty staging).
+
+    Two-level compaction: per-frame clouds land in a staging pool sized for
+    ``downsample_every`` frames, so the frequent voxel sort runs over ~1/5th
+    of the points instead of the full map capacity (an LSM-style merge — the
+    main pool is only re-voxelized when it approaches capacity). The main
+    pool may transiently hold one point per (voxel, flush) pair; the final
+    ``downsample_map`` merges those exactly.
+    """
+    reduced = voxel_downsample(
+        PointCloud(points=staging.points, colors=staging.colors,
+                   valid=staging.valid),
+        voxel_size, bounds,
+    )
+    c = gmap.points.shape[0]
+    s = staging.points.shape[0]
+    start = jnp.minimum(gmap.cursor, c - s)
+    survivors = jnp.sum(reduced.valid).astype(jnp.int32)
+    new_main = GlobalMap(
+        points=jax.lax.dynamic_update_slice(gmap.points, reduced.points,
+                                            (start, 0)),
+        colors=jax.lax.dynamic_update_slice(gmap.colors, reduced.colors,
+                                            (start, 0)),
+        valid=jax.lax.dynamic_update_slice(gmap.valid, reduced.valid,
+                                           (start,)),
+        cursor=start + survivors,
+    )
+    empty = GlobalMap(
+        points=jnp.zeros_like(staging.points),
+        colors=jnp.zeros_like(staging.colors),
+        valid=jnp.zeros_like(staging.valid),
+        cursor=jnp.zeros((), jnp.int32),
+    )
+    return new_main, empty
+
+
 def map_to_numpy(gmap: GlobalMap) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the valid points/colors to host numpy (for export/IO)."""
     valid = np.asarray(gmap.valid)

@@ -50,14 +50,18 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float,
     key_hi = jnp.where(in_bounds, idx[:, 0], _SENTINEL)
     key_lo = jnp.where(in_bounds, idx[:, 1] * per_axis + idx[:, 2], _SENTINEL)
 
-    # stable lexicographic sort: by lo first, then by hi
-    order = jnp.argsort(key_lo, stable=True)
-    order = order[jnp.argsort(key_hi[order], stable=True)]
-    hi_s = key_hi[order]
-    lo_s = key_lo[order]
-    pts_s = cloud.points[order]
-    col_s = cloud.colors[order]
-    val_s = in_bounds[order]
+    # ONE multi-operand lexicographic sort carrying the payload columns:
+    # argsort + per-column gathers would re-permute the pool with 5 serial
+    # TPU gathers (measured ~10x the cost of the fused sort)
+    (hi_s, lo_s, px, py, pz, cr, cg, cb, val_s) = jax.lax.sort(
+        (key_hi, key_lo,
+         cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2],
+         cloud.colors[:, 0], cloud.colors[:, 1], cloud.colors[:, 2],
+         in_bounds),
+        num_keys=2,
+    )
+    pts_s = jnp.stack([px, py, pz], axis=1)
+    col_s = jnp.stack([cr, cg, cb], axis=1)
 
     new_seg = jnp.concatenate(
         [
@@ -65,16 +69,20 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float,
             ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(jnp.int32),
         ]
     )
-    seg_id = jnp.cumsum(new_seg) - 1  # dense ids, 0-based
+    seg_id = jnp.cumsum(new_seg) - 1  # dense ids, 0-based, ASCENDING
 
     valf = val_s.astype(jnp.float32)[:, None]
-    sum_pts = jax.ops.segment_sum(pts_s * valf, seg_id, num_segments=n)
-    sum_col = jax.ops.segment_sum(col_s * valf, seg_id, num_segments=n)
-    counts = jax.ops.segment_sum(valf[:, 0], seg_id, num_segments=n)
+    sum_pts = jax.ops.segment_sum(pts_s * valf, seg_id, num_segments=n,
+                                  indices_are_sorted=True)
+    sum_col = jax.ops.segment_sum(col_s * valf, seg_id, num_segments=n,
+                                  indices_are_sorted=True)
+    counts = jax.ops.segment_sum(valf[:, 0], seg_id, num_segments=n,
+                                 indices_are_sorted=True)
     denom = jnp.maximum(counts, 1.0)[:, None]
 
     # a segment is a real voxel iff its first element was in-bounds/valid
-    seg_valid = jax.ops.segment_max(val_s.astype(jnp.int32), seg_id, num_segments=n) > 0
+    seg_valid = jax.ops.segment_max(val_s.astype(jnp.int32), seg_id,
+                                    num_segments=n, indices_are_sorted=True) > 0
     return PointCloud(
         points=sum_pts / denom,
         colors=sum_col / denom,

@@ -22,7 +22,7 @@ import numpy as np
 if TYPE_CHECKING:  # pragma: no cover
     from online_3d_reconstruction_tpu.runtime.pipeline import OnlineReconstructor
 
-_FORMAT_VERSION = 2  # v2: keypoint octave field
+_FORMAT_VERSION = 3  # v3: staging pool + device BA window
 
 
 def save_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
@@ -40,6 +40,11 @@ def save_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
         "map_colors": np.asarray(engine.gmap.colors),
         "map_valid": np.asarray(engine.gmap.valid),
         "map_cursor": np.asarray(engine.gmap.cursor),
+        "stg_points": np.asarray(engine._staging.points),
+        "stg_colors": np.asarray(engine._staging.colors),
+        "stg_valid": np.asarray(engine._staging.valid),
+        "stg_cursor": np.asarray(engine._staging.cursor),
+        "staged_points": np.int64(engine._staged_points),
         "rng_key": np.asarray(jax.random.key_data(engine._key)),
         "n_keyframes": np.int64(len(engine.keyframes)),
     }
@@ -112,6 +117,13 @@ def load_checkpoint(engine: "OnlineReconstructor", path: str) -> None:
             cursor=jnp.asarray(z["map_cursor"]),
         )
         engine._key = jax.random.wrap_key_data(jnp.asarray(z["rng_key"]))
+        engine._staging = GlobalMap(
+            points=jnp.asarray(z["stg_points"]),
+            colors=jnp.asarray(z["stg_colors"]),
+            valid=jnp.asarray(z["stg_valid"]),
+            cursor=jnp.asarray(z["stg_cursor"]),
+        )
+        engine._staged_points = int(z["staged_points"])
         engine.keyframes = []
         for i in range(int(z["n_keyframes"])):
             kp = Keypoints(

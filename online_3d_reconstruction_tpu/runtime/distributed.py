@@ -93,10 +93,10 @@ class DistributedReconstructor(OnlineReconstructor):
             self._key, jnp.int32(int(hostvec[16])),
             cfg.matching, cfg.odometry,
         )
-        gmap = self.gmap
+        staging = self._staging
         if fuse:
-            gmap = _fusion_stage(gmap, cloud, pose)
-        return gmap, pose, feats, used_vo, count, matches
+            staging = _fusion_stage(staging, cloud, pose)
+        return staging, pose, feats, used_vo, count, matches
 
     def _compute_frame(self, left, right, color):
         cfg = self.cfg

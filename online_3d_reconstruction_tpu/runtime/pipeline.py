@@ -26,6 +26,7 @@ import numpy as np
 
 from online_3d_reconstruction_tpu.ba.device_tracks import (
     create_window,
+    keyframe_core as ba_keyframe_core,
     keyframe_step as ba_keyframe_step,
 )
 from online_3d_reconstruction_tpu.ba.window import WindowBA
@@ -38,6 +39,7 @@ from online_3d_reconstruction_tpu.mapping.global_map import (
     GlobalMap,
     create_map,
     downsample_map,
+    flush_staging,
     insert_cloud,
     map_to_numpy,
 )
@@ -138,6 +140,53 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
     return gmap, pose, feats, used_vo, count, matches
 
 
+@partial(jax.jit,
+         static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
+                          "match_cfg", "ba_cfg", "fuse"),
+         donate_argnums=(0, 1))
+def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
+                    kf_feats, kf_pose, kf_prior, key,
+                    stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
+                    ba_cfg, fuse: bool):
+    """Keyframe-event variant of ``_steady_step``: the window-BA append +
+    track build + dense-Schur solve runs INSIDE the same dispatch, the map
+    insert uses the BA-refined pose, and both the map pool and the BA window
+    are donated. The keyframe decision itself is host-side (it reads only
+    the flight-log priors), so the host picks which variant to dispatch.
+
+    Returns (gmap', refined_pose, feats, used_vo, count, ba_state', refined).
+    """
+    left, right, color = packed[..., 0], packed[..., 1], packed[..., 2:5]
+    prior = hostvec[:16].reshape(4, 4)
+    frame_idx = hostvec[16].astype(jnp.int32)
+
+    left_r, right_r = rectify_pair(left, right, map_left, map_right)
+    color_r = remap_bilinear(color, map_left)
+    disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
+    feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
+    cloud = backproject_disparity(
+        disp, color_r, q,
+        stride=map_cfg.frame_point_stride,
+        min_depth=map_cfg.min_depth,
+        max_depth=map_cfg.max_depth,
+        invalid_value=stereo_cfg.invalid_value,
+    )
+    pose, used_vo, count, matches = tracking_step(
+        feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
+        match_cfg, odo_cfg,
+    )
+    ba_state, refined, _ = ba_keyframe_core(
+        ba_state, feats.points3d, feats.valid3d,
+        matches.index, matches.valid, pose, prior, ba_cfg,
+    )
+    pose_ref = refined[ba_state.count - 1]
+    if fuse:
+        world_pts = se3.transform_points(pose_ref, cloud.points)
+        gmap = insert_cloud(gmap, PointCloud(world_pts, cloud.colors,
+                                             cloud.valid))
+    return gmap, pose_ref, feats, used_vo, count, ba_state, refined
+
+
 def pack_frame(frame: FrameData) -> np.ndarray:
     """Host-side packing of (left, right, color) into one (H, W, 5) upload."""
     return np.concatenate(
@@ -165,6 +214,13 @@ class OnlineReconstructor:
         self._frame_points = (
             -(-config.stereo.height // s) * -(-config.stereo.width // s)
         )
+        # two-level map: frames land in a staging pool sized for one flush
+        # interval, so the frequent voxel sort never touches the full pool
+        flush_frames = max(config.mapping.downsample_every, 1)
+        self._staging_cap = min(self._capacity,
+                                flush_frames * self._frame_points)
+        self._staging = create_map(self._staging_cap)
+        self._staged_points = 0
         self._host_cursor = 0
         self._last_kf_prior = np.eye(4)
         self._pending_vo: List = []   # deferred (frame, used_vo, count) scalars
@@ -228,11 +284,23 @@ class OnlineReconstructor:
         DistributedReconstructor overrides this with its sharded stages."""
         cfg = self.cfg
         return _steady_step(
-            self.gmap, jnp.asarray(packed), jnp.asarray(hostvec),
+            self._staging, jnp.asarray(packed), jnp.asarray(hostvec),
             self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, fuse,
+        )
+
+    def _run_steady_step_kf(self, packed: np.ndarray, hostvec: np.ndarray,
+                            kf: "_Keyframe", fuse: bool):
+        """Keyframe-event dispatch: steady step + window BA fused."""
+        cfg = self.cfg
+        return _steady_step_kf(
+            self._staging, self._ba_state, jnp.asarray(packed),
+            jnp.asarray(hostvec), self.map_left, self.map_right, self.q,
+            kf.features, kf.pose, kf.prior_pose, self._key,
+            cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+            cfg.matching, cfg.ba, fuse,
         )
 
     def process(self, frame: FrameData) -> dict:
@@ -246,6 +314,7 @@ class OnlineReconstructor:
         used_vo: object = False
         inliers: object = 0
         matches = None
+        refined = None
         fused = False
         fuse = self._frames_since_fuse + 1 >= cfg.mapping.fuse_every
         if not self.keyframes:
@@ -258,18 +327,30 @@ class OnlineReconstructor:
             pose = prior
             if fuse:
                 with timer.stage("fusion"):
-                    self.gmap = _fusion_stage(self.gmap, cloud, pose)
+                    self._staging = _fusion_stage(self._staging, cloud, pose)
                 fused = True
         else:
             kf = self.keyframes[-1]
+            # the keyframe policy reads only host-side priors, so the host
+            # knows before dispatching whether this frame's BA runs — and can
+            # pick the variant that fuses the BA solve into the same dispatch
+            is_kf = self._is_keyframe(frame.prior_pose)
+            fuse_ba = is_kf and self._ba_state is not None
             with timer.stage("step"):
                 hostvec = np.zeros(20, dtype=np.float32)
                 hostvec[:16] = np.asarray(frame.prior_pose,
                                           dtype=np.float32).ravel()
                 hostvec[16] = self.frame_idx
-                self.gmap, pose, feats, used_vo_j, count, matches = (
-                    self._run_steady_step(pack_frame(frame), hostvec, kf, fuse)
-                )
+                if fuse_ba:
+                    (self._staging, pose, feats, used_vo_j, count,
+                     self._ba_state, refined) = self._run_steady_step_kf(
+                        pack_frame(frame), hostvec, kf, fuse)
+                    matches = None  # consumed in-dispatch by the BA append
+                else:
+                    self._staging, pose, feats, used_vo_j, count, matches = (
+                        self._run_steady_step(pack_frame(frame), hostvec, kf,
+                                              fuse)
+                    )
                 fused = fuse
                 if cfg.runtime.sync_metrics:
                     used_vo = bool(used_vo_j)   # forces a device sync
@@ -289,20 +370,25 @@ class OnlineReconstructor:
             )
             if self._ba_state is not None:
                 with timer.stage("ba"):
-                    m_idx, m_ok = (
-                        (matches.index, matches.valid)
-                        if matches is not None else self._no_match
-                    )
-                    self._ba_state, refined, _ = ba_keyframe_step(
-                        self._ba_state, feats.points3d, feats.valid3d,
-                        m_idx, m_ok, pose, prior, self.cfg.ba,
-                    )
-                    # the newest slot's refined pose seeds the next tracking
-                    # step; trajectory entries are patched in bulk at finish()
-                    live = min(len(self.keyframes), self.cfg.ba.window)
-                    self.keyframes[-1] = self.keyframes[-1]._replace(
-                        pose=refined[live - 1]
-                    )
+                    if refined is None:
+                        # first keyframe: nothing fused yet — standalone append
+                        m_idx, m_ok = (
+                            (matches.index, matches.valid)
+                            if matches is not None else self._no_match
+                        )
+                        self._ba_state, refined, _ = ba_keyframe_step(
+                            self._ba_state, feats.points3d, feats.valid3d,
+                            m_idx, m_ok, pose, prior, self.cfg.ba,
+                        )
+                        live = min(len(self.keyframes), self.cfg.ba.window)
+                        # the newest slot's refined pose seeds the next
+                        # tracking step (fused variant returns it directly)
+                        self.keyframes[-1] = self.keyframes[-1]._replace(
+                            pose=refined[live - 1]
+                        )
+                    else:
+                        live = min(len(self.keyframes), self.cfg.ba.window)
+                    # trajectory entries are patched in bulk at finish()
                     self._ba_events.append(
                         ([k.index for k in self.keyframes[-live:]], refined)
                     )
@@ -328,16 +414,28 @@ class OnlineReconstructor:
             self._frames_since_fuse += 1
             if fused:
                 self._frames_since_fuse = 0
-                self._host_cursor += self._frame_points  # upper bound, no sync
+                self._staged_points += self._frame_points  # upper bound
             periodic = (
                 cfg.mapping.downsample_every > 0
                 and (self.frame_idx + 1) % cfg.mapping.downsample_every == 0
             )
-            if periodic or self._host_cursor + self._frame_points >= self._capacity:
-                self.gmap = downsample_map(
-                    self.gmap, cfg.mapping.voxel_size, cfg.mapping.bounds
+            if self._staged_points and (
+                periodic
+                or self._staged_points + self._frame_points > self._staging_cap
+            ):
+                # voxelize the staging pool and merge into the main pool
+                self.gmap, self._staging = flush_staging(
+                    self.gmap, self._staging,
+                    cfg.mapping.voxel_size, cfg.mapping.bounds,
                 )
-                self._host_cursor = int(self.gmap.cursor)  # one sync per flush
+                self._host_cursor += self._staged_points  # survivor bound
+                self._staged_points = 0
+                if self._host_cursor + self._staging_cap >= self._capacity:
+                    # rare: re-voxelize the whole main pool near capacity
+                    self.gmap = downsample_map(
+                        self.gmap, cfg.mapping.voxel_size, cfg.mapping.bounds
+                    )
+                    self._host_cursor = int(self.gmap.cursor)  # one sync
 
         if (
             cfg.runtime.checkpoint_every > 0
@@ -395,6 +493,12 @@ class OnlineReconstructor:
         """Flush the map and return trajectory + fused cloud + metrics."""
         jax.block_until_ready(self.gmap.points)
         elapsed = (time.perf_counter() - self._t_start) if self._t_start else 0.0
+        if self._staged_points:
+            self.gmap, self._staging = flush_staging(
+                self.gmap, self._staging,
+                self.cfg.mapping.voxel_size, self.cfg.mapping.bounds,
+            )
+            self._staged_points = 0
         self.gmap = downsample_map(
             self.gmap, self.cfg.mapping.voxel_size, self.cfg.mapping.bounds
         )
