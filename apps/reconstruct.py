@@ -104,6 +104,9 @@ def _build_config(args):
         overrides["runtime.checkpoint_dir"] = os.path.join(args.output, "checkpoints")
     if args.metrics:
         overrides["runtime.metrics_path"] = os.path.join(args.output, "metrics.jsonl")
+    if args.disparity_dir:
+        # offline mode (C5): consume precomputed maps instead of running SGM
+        overrides.setdefault("runtime.use_precomputed_disparity", True)
     return load_config(args.config, overrides)
 
 

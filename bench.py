@@ -148,7 +148,7 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     fps = n_timed / elapsed
 
-    result = engine.finish()
+    result = engine.finish(warmup_frames=n_warmup)
     gt = np.stack([f.gt_pose for f in frames])
     ate = ate_rmse(result.trajectory, gt)
 

@@ -139,6 +139,8 @@ class RuntimeConfig:
     metrics_path: str = ""               # JSONL stage-metrics sink ("" = off)
     sync_metrics: bool = True            # False: defer VO scalar pulls to finish()
     prefetch_depth: int = 2              # host->device double buffering depth
+    use_precomputed_disparity: bool = False  # offline mode: consume
+                                         # FrameData.disparity, skip SGM (C5)
     profile: bool = False                # jax.profiler trace around stages
     debug_nans: bool = False             # jax_debug_nans (sanitizer analog, §5)
 

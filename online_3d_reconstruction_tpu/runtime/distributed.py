@@ -73,7 +73,8 @@ class DistributedReconstructor(OnlineReconstructor):
                 solver=functools.partial(solve_ba_sharded, mesh=mesh),
             )
 
-    def _run_steady_step(self, packed, hostvec, kf, fuse):
+    def _run_steady_step(self, packed, hostvec, kf, fuse,
+                         precomputed_disp: bool = False):
         """Sharded stages can't fuse into the single-dispatch steady step
         (the SGM slabs and BA shards are separate shard_map programs), so the
         distributed loop keeps the 3-stage structure."""
@@ -86,6 +87,7 @@ class DistributedReconstructor(OnlineReconstructor):
         disp, feats, cloud = self._compute_frame(
             jnp.asarray(packed[..., 0]), jnp.asarray(packed[..., 1]),
             jnp.asarray(packed[..., 2:5]),
+            disp_in=(jnp.asarray(packed[..., 5]) if precomputed_disp else None),
         )
         prior = jnp.asarray(hostvec[:16].reshape(4, 4))
         pose, used_vo, count, matches = tracking_step(
@@ -98,12 +100,15 @@ class DistributedReconstructor(OnlineReconstructor):
             staging = _fusion_stage(staging, cloud, pose)
         return staging, pose, feats, used_vo, count, matches
 
-    def _compute_frame(self, left, right, color):
+    def _compute_frame(self, left, right, color, disp_in=None):
         cfg = self.cfg
         left_r, right_r = rectify_pair(left, right, self.map_left, self.map_right)
         color_r = remap_bilinear(color, self.map_left)
-        disp, valid = sharded_disparity(left_r, right_r, cfg.stereo, self.mesh,
-                                        halo=self.sgm_halo)
+        if disp_in is None:
+            disp, valid = sharded_disparity(left_r, right_r, cfg.stereo,
+                                            self.mesh, halo=self.sgm_halo)
+        else:
+            disp = disp_in
         feats = extract_frame_features(left_r, disp, self.q,
                                        cfg.features, cfg.odometry)
         cloud = backproject_disparity(

@@ -70,11 +70,20 @@ class _Keyframe(NamedTuple):
 
 @partial(jax.jit, static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg"))
 def _frame_stage(left, right, color, map_left, map_right, q,
-                 stereo_cfg, feat_cfg, odo_cfg, map_cfg):
-    """Rectify -> disparity -> features -> camera-frame cloud (one dispatch)."""
+                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, disp_in=None):
+    """Rectify -> disparity -> features -> camera-frame cloud (one dispatch).
+
+    ``disp_in`` (optional (H, W) array) is a precomputed disparity map in the
+    rectified-left frame — the reference's offline mode (SURVEY.md §2.1 C5
+    "option to consume precomputed disparity images"): SGM is skipped and the
+    supplied map feeds features + backprojection directly.
+    """
     left_r, right_r = rectify_pair(left, right, map_left, map_right)
     color_r = left_r if color is None else remap_bilinear(color, map_left)
-    disp, valid = sgm_disparity(left_r, right_r, stereo_cfg)
+    if disp_in is None:
+        disp, valid = sgm_disparity(left_r, right_r, stereo_cfg)
+    else:
+        disp = disp_in
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
     cloud = backproject_disparity(
         disp, color_r, q,
@@ -97,22 +106,13 @@ def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> Glob
     return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
 
 
-@partial(jax.jit,
-         static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
-                          "match_cfg", "fuse"),
-         donate_argnums=(0,))
-def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
-                 kf_feats, kf_pose, kf_prior, key,
-                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
-                 fuse: bool):
-    """The ENTIRE steady-state frame as one dispatch.
-
-    On a relay-attached TPU every dispatch and host->device transfer pays a
-    fixed round-trip latency, so the loop ships one packed (H, W, 5) image
-    tensor (left | right | rgb) plus one 20-float host vector (prior pose,
-    frame index) and runs rectify -> SGM -> features -> backproject ->
-    tracking -> fusion in a single XLA program. Returns
-    (gmap', pose, feats, used_vo, inlier_count, matches).
+def _packed_frame_body(packed, hostvec, map_left, map_right, q,
+                       stereo_cfg, feat_cfg, odo_cfg, map_cfg,
+                       precomputed_disp: bool):
+    """Shared device body: unpack -> rectify -> disparity -> features ->
+    camera-frame cloud. ``precomputed_disp`` (static) selects the reference's
+    offline mode (SURVEY.md C5): the packed tensor then carries the supplied
+    rectified-left disparity as channel 5 and SGM is skipped entirely.
     """
     left, right, color = packed[..., 0], packed[..., 1], packed[..., 2:5]
     prior = hostvec[:16].reshape(4, 4)
@@ -120,7 +120,10 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
 
     left_r, right_r = rectify_pair(left, right, map_left, map_right)
     color_r = remap_bilinear(color, map_left)
-    disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
+    if precomputed_disp:
+        disp = packed[..., 5]
+    else:
+        disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
     cloud = backproject_disparity(
         disp, color_r, q,
@@ -128,6 +131,30 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
         min_depth=map_cfg.min_depth,
         max_depth=map_cfg.max_depth,
         invalid_value=stereo_cfg.invalid_value,
+    )
+    return prior, frame_idx, feats, cloud
+
+
+@partial(jax.jit,
+         static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
+                          "match_cfg", "fuse", "precomputed_disp"),
+         donate_argnums=(0,))
+def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
+                 kf_feats, kf_pose, kf_prior, key,
+                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
+                 fuse: bool, precomputed_disp: bool = False):
+    """The ENTIRE steady-state frame as one dispatch.
+
+    On a relay-attached TPU every dispatch and host->device transfer pays a
+    fixed round-trip latency, so the loop ships one packed (H, W, 5|6) image
+    tensor (left | right | rgb [| disparity]) plus one 20-float host vector
+    (prior pose, frame index) and runs rectify -> SGM -> features ->
+    backproject -> tracking -> fusion in a single XLA program. Returns
+    (gmap', pose, feats, used_vo, inlier_count, matches).
+    """
+    prior, frame_idx, feats, cloud = _packed_frame_body(
+        packed, hostvec, map_left, map_right, q,
+        stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -142,12 +169,12 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
 
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
-                          "match_cfg", "ba_cfg", "fuse"),
+                          "match_cfg", "ba_cfg", "fuse", "precomputed_disp"),
          donate_argnums=(0, 1))
 def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
                     kf_feats, kf_pose, kf_prior, key,
                     stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
-                    ba_cfg, fuse: bool):
+                    ba_cfg, fuse: bool, precomputed_disp: bool = False):
     """Keyframe-event variant of ``_steady_step``: the window-BA append +
     track build + dense-Schur solve runs INSIDE the same dispatch, the map
     insert uses the BA-refined pose, and both the map pool and the BA window
@@ -156,20 +183,9 @@ def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
 
     Returns (gmap', refined_pose, feats, used_vo, count, ba_state', refined).
     """
-    left, right, color = packed[..., 0], packed[..., 1], packed[..., 2:5]
-    prior = hostvec[:16].reshape(4, 4)
-    frame_idx = hostvec[16].astype(jnp.int32)
-
-    left_r, right_r = rectify_pair(left, right, map_left, map_right)
-    color_r = remap_bilinear(color, map_left)
-    disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
-    feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
-    cloud = backproject_disparity(
-        disp, color_r, q,
-        stride=map_cfg.frame_point_stride,
-        min_depth=map_cfg.min_depth,
-        max_depth=map_cfg.max_depth,
-        invalid_value=stereo_cfg.invalid_value,
+    prior, frame_idx, feats, cloud = _packed_frame_body(
+        packed, hostvec, map_left, map_right, q,
+        stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -187,12 +203,14 @@ def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
     return gmap, pose_ref, feats, used_vo, count, ba_state, refined
 
 
-def pack_frame(frame: FrameData) -> np.ndarray:
-    """Host-side packing of (left, right, color) into one (H, W, 5) upload."""
-    return np.concatenate(
-        [frame.left[..., None], frame.right[..., None], frame.color],
-        axis=2, dtype=np.float32,
-    )
+def pack_frame(frame: FrameData, use_disparity: bool = False) -> np.ndarray:
+    """Host-side packing of (left, right, color[, disparity]) into one
+    (H, W, 5|6) upload. ``use_disparity`` appends ``frame.disparity`` as
+    channel 5 for the precomputed-disparity (offline) mode."""
+    planes = [frame.left[..., None], frame.right[..., None], frame.color]
+    if use_disparity:
+        planes.append(frame.disparity[..., None])
+    return np.concatenate(planes, axis=2, dtype=np.float32)
 
 
 class OnlineReconstructor:
@@ -269,17 +287,24 @@ class OnlineReconstructor:
             or r_err > self.cfg.runtime.keyframe_rotation
         )
 
-    def _compute_frame(self, left, right, color):
+    def _use_disparity(self, frame: FrameData) -> bool:
+        """Offline mode (C5): opt-in via config AND the frame must carry one."""
+        return (self.cfg.runtime.use_precomputed_disparity
+                and frame.disparity is not None)
+
+    def _compute_frame(self, left, right, color, disp_in=None):
         """The per-frame device stage; DistributedReconstructor overrides
         this with the mesh-sharded variant."""
         cfg = self.cfg
         return _frame_stage(
             left, right, color, self.map_left, self.map_right, self.q,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
+            disp_in=disp_in,
         )
 
     def _run_steady_step(self, packed: np.ndarray, hostvec: np.ndarray,
-                         kf: "_Keyframe", fuse: bool):
+                         kf: "_Keyframe", fuse: bool,
+                         precomputed_disp: bool = False):
         """One fused device dispatch for a steady-state frame; the
         DistributedReconstructor overrides this with its sharded stages."""
         cfg = self.cfg
@@ -288,11 +313,12 @@ class OnlineReconstructor:
             self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
-            cfg.matching, fuse,
+            cfg.matching, fuse, precomputed_disp,
         )
 
     def _run_steady_step_kf(self, packed: np.ndarray, hostvec: np.ndarray,
-                            kf: "_Keyframe", fuse: bool):
+                            kf: "_Keyframe", fuse: bool,
+                            precomputed_disp: bool = False):
         """Keyframe-event dispatch: steady step + window BA fused."""
         cfg = self.cfg
         return _steady_step_kf(
@@ -300,7 +326,7 @@ class OnlineReconstructor:
             jnp.asarray(hostvec), self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
-            cfg.matching, cfg.ba, fuse,
+            cfg.matching, cfg.ba, fuse, precomputed_disp,
         )
 
     def process(self, frame: FrameData) -> dict:
@@ -317,12 +343,15 @@ class OnlineReconstructor:
         refined = None
         fused = False
         fuse = self._frames_since_fuse + 1 >= cfg.mapping.fuse_every
+        use_disp = self._use_disparity(frame)
         if not self.keyframes:
             # first frame: anchor the world to the prior (no tracking target)
             with timer.stage("frame_compute"):
                 disp, feats, cloud = self._compute_frame(
                     jnp.asarray(frame.left), jnp.asarray(frame.right),
                     jnp.asarray(frame.color),
+                    disp_in=(jnp.asarray(frame.disparity) if use_disp
+                             else None),
                 )
             pose = prior
             if fuse:
@@ -344,12 +373,13 @@ class OnlineReconstructor:
                 if fuse_ba:
                     (self._staging, pose, feats, used_vo_j, count,
                      self._ba_state, refined) = self._run_steady_step_kf(
-                        pack_frame(frame), hostvec, kf, fuse)
+                        pack_frame(frame, use_disp), hostvec, kf, fuse,
+                        use_disp)
                     matches = None  # consumed in-dispatch by the BA append
                 else:
                     self._staging, pose, feats, used_vo_j, count, matches = (
-                        self._run_steady_step(pack_frame(frame), hostvec, kf,
-                                              fuse)
+                        self._run_steady_step(pack_frame(frame, use_disp),
+                                              hostvec, kf, fuse, use_disp)
                     )
                 fused = fuse
                 if cfg.runtime.sync_metrics:
@@ -489,8 +519,12 @@ class OnlineReconstructor:
             if kf.index < len(self.trajectory):
                 self.trajectory[kf.index] = np.asarray(kf.pose)
 
-    def finish(self) -> ReconstructionResult:
-        """Flush the map and return trajectory + fused cloud + metrics."""
+    def finish(self, warmup_frames: int = 0) -> ReconstructionResult:
+        """Flush the map and return trajectory + fused cloud + metrics.
+
+        ``warmup_frames`` frames are excluded from the metric summary's stage
+        means (they contain jit compiles; see MetricsLogger.summary).
+        """
         jax.block_until_ready(self.gmap.points)
         elapsed = (time.perf_counter() - self._t_start) if self._t_start else 0.0
         if self._staged_points:
@@ -512,7 +546,7 @@ class OnlineReconstructor:
                     self.metrics.records[idx]["vo_inliers"] = int(c)
             self._pending_vo = []
         self._flush_ba_events()
-        summary = self.metrics.summary()
+        summary = self.metrics.summary(skip_first=warmup_frames)
         summary["frames"] = self.frame_idx
         summary["keyframes"] = len(self.keyframes)
         if elapsed > 0:

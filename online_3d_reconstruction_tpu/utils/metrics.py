@@ -33,14 +33,20 @@ class MetricsLogger:
             self._file.close()
             self._file = None
 
-    def summary(self) -> Dict:
-        """Mean of every numeric field across frames."""
+    def summary(self, skip_first: int = 0) -> Dict:
+        """Mean of every numeric field across frames.
+
+        ``skip_first`` drops the leading warmup/compile frames so stage means
+        reflect the steady state (compiles are 3 orders of magnitude larger
+        than a steady frame and would otherwise dominate every mean).
+        """
         out: Dict[str, float] = {}
-        if not self.records:
+        records = self.records[skip_first:]
+        if not records:
             return out
-        keys = set().union(*(r.keys() for r in self.records))
+        keys = set().union(*(r.keys() for r in records))
         for k in keys:
-            vals = [r[k] for r in self.records if isinstance(r.get(k), (int, float))]
+            vals = [r[k] for r in records if isinstance(r.get(k), (int, float))]
             if vals:
                 out[k] = float(np.mean(vals))
         return out

@@ -38,6 +38,39 @@ def test_survey_sequence_regression(vo_scene, vo_rig):
     assert y_extent > 4.0, f"map y-extent {y_extent:.1f} (expected both rows)"
 
 
+def test_precomputed_disparity_bypasses_sgm(vo_scene, vo_rig, monkeypatch):
+    """Offline mode (SURVEY.md §2.1 C5 'precomputed disparity'): with
+    runtime.use_precomputed_disparity the SGM stage must never run — the
+    supplied (ground-truth) maps feed features + backprojection directly."""
+    import dataclasses
+
+    from online_3d_reconstruction_tpu.runtime import pipeline as pl
+
+    def _boom(*a, **k):
+        raise AssertionError("sgm_disparity ran in precomputed mode")
+
+    monkeypatch.setattr(pl, "sgm_disparity", _boom)
+
+    cfg = _test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(cfg.runtime,
+                                    use_precomputed_disparity=True),
+    )
+    poses = make_survey_trajectory(8, altitude=12.0, speed=0.7,
+                                   row_length=7.0, seed=3)
+    dataset = SyntheticSequence(scene=vo_scene, rig=vo_rig, poses=poses,
+                                prior_translation_sigma=0.15)
+    assert dataset[0].disparity is not None  # the oracle supplies GT maps
+    result = reconstruct(dataset, cfg, vo_rig)
+
+    # GT disparity -> exact lifts: the trajectory should beat noisy priors
+    ate = ate_rmse(result.trajectory, np.stack(poses))
+    assert ate < 0.35, f"ATE {ate:.3f} m with GT disparity"
+    # 8 frames over one ~7 m row at 0.5 m leaves -> a few hundred voxels
+    assert len(result.map_points) > 400
+
+
 def test_profile_flag_writes_trace(vo_scene, vo_rig, tmp_path):
     """runtime.profile wraps the run in a jax.profiler trace (SURVEY.md §5)."""
     import dataclasses
