@@ -68,6 +68,10 @@ def _parse_args(argv=None):
     out.add_argument("--pcd", action="store_true", help="also write map.pcd")
     out.add_argument("--viewer", action="store_true",
                      help="write a standalone interactive viewer.html")
+    out.add_argument("--viewer-every", type=int, default=0, metavar="K",
+                     help="ALSO re-export viewer.html every K keyframes during "
+                          "the run (live view via file refresh; the reference "
+                          "shows the growing map in a PCLVisualizer window)")
     out.add_argument("--metrics", action="store_true", help="write metrics.jsonl")
     out.add_argument("--quiet", action="store_true", help="suppress per-frame prints")
 
@@ -170,10 +174,18 @@ def main(argv=None) -> int:
         start = engine.frame_idx
         print(f"resumed from {snap} at frame {start}", file=sys.stderr)
 
+    viewer_path = os.path.join(args.output, "viewer.html")
     last = args.last if args.last >= 0 else len(dataset) - 1
     t0 = time.perf_counter()
     for i in range(max(args.first, start), last + 1):
         rec = engine.process(dataset[i])
+        if (args.viewer_every and rec["keyframe"]
+                and len(engine.keyframes) % args.viewer_every == 0):
+            # live view (C14): re-export the growing map mid-run
+            from online_3d_reconstruction_tpu.io.viewer import export_html
+
+            pts, cols, traj = engine.snapshot_map()
+            export_html(viewer_path, pts, cols, traj)
         if not args.quiet:
             stages = " ".join(
                 f"{k[2:-3]}={v:.0f}ms" for k, v in rec.items() if k.startswith("t_")
@@ -193,10 +205,10 @@ def main(argv=None) -> int:
     if args.pcd:
         save_pcd(os.path.join(args.output, "map.pcd"), result.map_points,
                  result.map_colors)
-    if args.viewer:
+    if args.viewer or args.viewer_every:
         from online_3d_reconstruction_tpu.io.viewer import export_html
 
-        export_html(os.path.join(args.output, "viewer.html"), result.map_points,
+        export_html(viewer_path, result.map_points,
                     result.map_colors, result.trajectory)
     save_trajectory_tum(os.path.join(args.output, "trajectory.tum"),
                         result.trajectory)

@@ -2,10 +2,11 @@
 //
 // The reference's ingest layer is native C++ (cv::imread + Boost.Filesystem,
 // SURVEY.md §2.1 C2); this library is its TPU-framework counterpart: image
-// decoding (PGM/PPM binary, and the numpy .npy float32/uint8 containers the
-// framework uses for lossless stereo data) plus an ordered multi-threaded
-// prefetcher that keeps N decoded frames ahead of the consumer, so host disk
-// IO and decode overlap device compute (pipeline stage P5).
+// decoding (PNG via libpng, JPEG via libjpeg — the formats real survey
+// cameras produce — plus PGM/PPM binary and the numpy .npy float32/uint8
+// containers the framework uses for lossless stereo data) and an ordered
+// multi-threaded prefetcher that keeps N decoded frames ahead of the
+// consumer, so host disk IO and decode overlap device compute (stage P5).
 //
 // C ABI only — consumed from Python via ctypes (io/native_loader.py).
 // Build: native/build.sh -> native/libo3r_io.so
@@ -13,6 +14,7 @@
 #include <atomic>
 #include <climits>
 #include <condition_variable>
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -22,6 +24,9 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
 
 extern "C" {
 
@@ -143,11 +148,92 @@ static bool decode_npy(const std::vector<uint8_t>& buf, O3RImage* img) {
   return true;
 }
 
+// PNG via libpng's simplified API: grayscale sources decode to 1 channel,
+// everything else (palette, RGB, RGBA) to 8-bit RGB — matching what
+// cv2.imread + BGR2RGB delivers for the same file.
+static bool decode_png(const std::vector<uint8_t>& buf, O3RImage* img) {
+  if (buf.size() < 8 || png_sig_cmp(buf.data(), 0, 8) != 0) return false;
+  png_image pimg;
+  std::memset(&pimg, 0, sizeof(pimg));
+  pimg.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&pimg, buf.data(), buf.size()))
+    return false;
+  bool gray = (pimg.format & PNG_FORMAT_FLAG_COLOR) == 0;
+  pimg.format = gray ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  int channels = gray ? 1 : 3;
+  size_t bytes = PNG_IMAGE_SIZE(pimg);
+  uint8_t* data = static_cast<uint8_t*>(std::malloc(bytes));
+  if (!data) { png_image_free(&pimg); return false; }
+  if (!png_image_finish_read(&pimg, nullptr, data, 0, nullptr)) {
+    std::free(data);
+    png_image_free(&pimg);
+    return false;
+  }
+  img->height = static_cast<int32_t>(pimg.height);
+  img->width = static_cast<int32_t>(pimg.width);
+  img->channels = channels;
+  img->is_float = 0;
+  img->data = data;
+  return true;
+}
+
+// JPEG via libjpeg with a longjmp error handler (the default handler calls
+// exit(); a corrupt frame must not kill the pipeline).
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jump;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jump, 1);
+}
+
+static bool decode_jpeg(const std::vector<uint8_t>& buf, O3RImage* img) {
+  if (buf.size() < 3 || buf[0] != 0xFF || buf[1] != 0xD8) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  uint8_t* data = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    if (data) std::free(data);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf.data(), buf.size());
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  bool gray = cinfo.jpeg_color_space == JCS_GRAYSCALE;
+  cinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  int channels = cinfo.output_components;
+  size_t stride = static_cast<size_t>(cinfo.output_width) * channels;
+  data = static_cast<uint8_t*>(std::malloc(stride * cinfo.output_height));
+  if (!data) { jpeg_destroy_decompress(&cinfo); return false; }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = data + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  img->height = static_cast<int32_t>(cinfo.output_height);
+  img->width = static_cast<int32_t>(cinfo.output_width);
+  img->channels = channels;
+  img->is_float = 0;
+  img->data = data;
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 int32_t o3r_read_image(const char* path, O3RImage* img) {
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return -1;
   img->data = nullptr;
   if (decode_npy(buf, img)) return 0;
+  if (decode_png(buf, img)) return 0;
+  if (decode_jpeg(buf, img)) return 0;
   if (decode_pnm(buf, img)) return 0;
   return -2;  // unsupported format
 }

@@ -199,10 +199,16 @@ def keyframe_core(
     pose: jnp.ndarray,
     prior: jnp.ndarray,
     cfg: BAConfig,
+    mesh=None,
 ) -> Tuple[WindowState, jnp.ndarray, dict]:
     """Append a keyframe and refine the window (traceable body; see
     ``keyframe_step`` for the standalone jitted form — the online loop
     inlines this into its single per-frame dispatch instead).
+
+    ``mesh`` routes the solve through the observation-sharded distributed
+    Schur solver (parallel/ba_sharded.py, P2) — the track build and problem
+    packing above it are pure device code either way, so the distributed
+    keyframe event stays O(1) dispatches with zero host round trips.
 
     Returns (new state, refined poses (W, 4, 4) aligned with window slots,
     stats dict of device scalars). When fewer than 2 keyframes are live the
@@ -215,8 +221,7 @@ def keyframe_core(
     # bound drift); the hard first-pose anchor would pin the window to its
     # own dead-reckoned drift, so it only applies when priors are off
     full_priors = cfg.prior_position_weight > 0 and cfg.prior_rotation_weight > 0
-    poses_ref, _, cost_trace = solve_ba(
-        problem,
+    solve_kw = dict(
         iters=cfg.gn_iters,
         damping=cfg.damping,
         huber_delta=cfg.huber_delta,
@@ -224,6 +229,11 @@ def keyframe_core(
         prior_position_weight=cfg.prior_position_weight,
         prior_rotation_weight=cfg.prior_rotation_weight,
     )
+    if mesh is None:
+        poses_ref, _, cost_trace = solve_ba(problem, **solve_kw)
+    else:
+        from online_3d_reconstruction_tpu.parallel.ba_sharded import solve_ba_sharded
+        poses_ref, _, cost_trace = solve_ba_sharded(problem, mesh, **solve_kw)
     # only live slots move; empty slots keep identity for the next append
     live = (jnp.arange(state.poses.shape[0]) < state.count)[:, None, None]
     poses_new = jnp.where(live, poses_ref, state.poses)
@@ -235,5 +245,5 @@ def keyframe_core(
 
 
 # standalone jitted form: one dispatch per keyframe event, state donated
-keyframe_step = partial(jax.jit, static_argnames=("cfg",),
+keyframe_step = partial(jax.jit, static_argnames=("cfg", "mesh"),
                         donate_argnums=(0,))(keyframe_core)

@@ -36,11 +36,12 @@ class StereoConfig:
     speckle_range: float = 1.0       # disparity jump that splits a blob
     invalid_value: float = -1.0      # disparity value marking invalid pixels
     use_pallas: bool = True          # Pallas scan kernel (else lax.scan fallback)
-    # storage dtype of the (H, W, D) cost/aggregation volumes — the SGM
-    # stage's HBM traffic. "float32" is exact; "bfloat16" halves bytes and is
-    # still exact for the census costs (integers <= 56 per path) while path
-    # sums round in the last bit or two (WTA ties may flip; < 0.5% of pixels).
-    cost_dtype: str = "float32"
+    # storage dtype of the cost/aggregation volumes — the SGM stage's HBM
+    # traffic. "bfloat16" (default) halves bytes and is still exact for the
+    # census costs (integers <= 56 per path) while 8-path sums round in the
+    # last bit or two (WTA ties may flip; < 0.5% of pixels — measured 7.7x
+    # faster per scan on v5e, see BASELINE.md). "float32" is exact.
+    cost_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -215,10 +215,15 @@ class ImageFolderSequence:
 
     @staticmethod
     def _load_image(path: str) -> np.ndarray:
-        # native C++ decoder first (npy/pgm/ppm; SURVEY.md C2's cv::imread role)
+        # native C++ decoder first (SURVEY.md C2's cv::imread role): PNG via
+        # libpng (byte-exact vs cv2.imread), JPEG via libjpeg (bit-identical
+        # to cv2's decode), plus npy/pgm/ppm — so the native prefetcher (P5)
+        # covers real camera formats
         from online_3d_reconstruction_tpu.io import native_loader
 
-        if native_loader.available() and path.endswith((".npy", ".pgm", ".ppm")):
+        lower = path.lower()
+        if native_loader.available() and lower.endswith(
+                (".npy", ".pgm", ".ppm", ".png", ".jpg", ".jpeg")):
             img = native_loader.read_image(path)
             if img.dtype == np.uint8:
                 return img.astype(np.float32) / 255.0

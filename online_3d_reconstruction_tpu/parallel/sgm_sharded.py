@@ -28,7 +28,7 @@ from online_3d_reconstruction_tpu.config import StereoConfig
 from online_3d_reconstruction_tpu.stereo.census import census_transform, cost_volume
 from online_3d_reconstruction_tpu.stereo.sgm import (
     aggregate_scan,
-    lr_consistency_mask,
+    lr_consistency_mask_volume,
     right_disparity_from_aggregated,
     wta_disparity,
 )
@@ -56,6 +56,7 @@ def sharded_disparity(
     config: StereoConfig,
     mesh: Mesh,
     halo: int = 32,
+    interpret_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One stereo pair, rows sharded over the mesh: (H, W) -> (H, W) disparity.
 
@@ -82,16 +83,38 @@ def sharded_disparity(
         right_e = _exchange_halos(right_s, pad, axis)
         cen_l = census_transform(left_e, config.census_window)
         cen_r = census_transform(right_e, config.census_window)
-        cost = cost_volume(cen_l, cen_r, config.max_disparity).astype(jnp.float32)
-        cost = cost[cw:-cw] if cw else cost  # keep slab + aggregation halo
 
-        agg = aggregate_scan(cost, config.p1, config.p2, config.num_paths)
-        agg = agg[halo:halo + slab]  # interior only
+        if config.use_pallas:
+            # each shard runs the fused multi-direction Pallas kernel on its
+            # slab (same DL-layout path as the single-chip sgm_disparity) —
+            # the lax.scan fallback measured ~190x slower on v5e, which would
+            # make scale-out slower than one chip
+            from online_3d_reconstruction_tpu.stereo.census import cost_volume_dl
+            from online_3d_reconstruction_tpu.stereo.sgm_pallas import aggregate_fused
+            from online_3d_reconstruction_tpu.stereo.sgm import right_disparity_dl
 
-        disp, valid = wta_disparity(agg, config.uniqueness_ratio, config.subpixel)
+            cost = cost_volume_dl(cen_l, cen_r, config.max_disparity)
+            cost = cost[cw:-cw] if cw else cost
+            agg = aggregate_fused(cost, config.p1, config.p2, config.num_paths,
+                                  interpret=interpret_pallas,
+                                  dtype=jnp.dtype(config.cost_dtype))
+            agg = agg[halo:halo + slab]  # interior only
+            d_axis = 1
+            disp_r_fn = right_disparity_dl
+        else:
+            cost = cost_volume(cen_l, cen_r, config.max_disparity).astype(jnp.float32)
+            cost = cost[cw:-cw] if cw else cost  # keep slab + aggregation halo
+            agg = aggregate_scan(cost, config.p1, config.p2, config.num_paths)
+            agg = agg[halo:halo + slab]
+            d_axis = -1
+            disp_r_fn = right_disparity_from_aggregated
+
+        disp, valid = wta_disparity(agg, config.uniqueness_ratio,
+                                    config.subpixel, d_axis=d_axis)
         if config.lr_max_diff >= 0:
-            disp_r = right_disparity_from_aggregated(agg)
-            valid = valid & lr_consistency_mask(disp, disp_r, config.lr_max_diff)
+            disp_r = disp_r_fn(agg)
+            valid = valid & lr_consistency_mask_volume(
+                disp, disp_r, config.max_disparity, config.lr_max_diff)
         valid = valid & (disp > 0.0)
         return disp, valid
 

@@ -52,18 +52,20 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 class DistributedReconstructor(OnlineReconstructor):
-    """Online loop whose stereo + BA stages run sharded over a device mesh."""
+    """Online loop whose stereo + BA stages run sharded over a device mesh.
+
+    The BA backend is the same device-resident ``WindowState`` as the
+    single-chip loop — the track build + problem packing are pure device
+    code (ba/device_tracks.py), only the Schur solve inside it swaps for
+    the observation-sharded psum reduction (parallel/ba_sharded.py). A
+    keyframe event therefore stays O(1) dispatches; the earlier design
+    forced the host track-table (host_ba), paying a device_get plus ~10
+    round trips per keyframe. ``runtime.host_ba=True`` still selects the
+    host backend explicitly (it then uses the sharded solver too).
+    """
 
     def __init__(self, config: PipelineConfig, rig: RectifiedRig, mesh: Mesh,
                  sgm_halo: int = 32):
-        if config.runtime.ba_every_keyframe:
-            # the observation-sharded Schur solver plugs into the host
-            # track-table packer; force that BA backend
-            import dataclasses
-
-            config = config.replace(
-                runtime=dataclasses.replace(config.runtime, host_ba=True)
-            )
         super().__init__(config, rig)
         self.mesh = mesh
         self.sgm_halo = sgm_halo
@@ -73,21 +75,18 @@ class DistributedReconstructor(OnlineReconstructor):
                 solver=functools.partial(solve_ba_sharded, mesh=mesh),
             )
 
-    def _run_steady_step(self, packed, hostvec, kf, fuse,
-                         precomputed_disp: bool = False):
-        """Sharded stages can't fuse into the single-dispatch steady step
-        (the SGM slabs and BA shards are separate shard_map programs), so the
-        distributed loop keeps the 3-stage structure."""
+    def _sharded_frame(self, packed, hostvec, kf, precomputed_disp):
+        """Per-frame sharded stages: stereo (P4) + features + tracking."""
         import jax.numpy as jnp
 
         from online_3d_reconstruction_tpu.odometry.frontend import tracking_step
-        from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
+        from online_3d_reconstruction_tpu.runtime.pipeline import unpack_frame
 
         cfg = self.cfg
+        left, right, color, disp_in = unpack_frame(
+            jnp.asarray(packed), cfg.stereo.invalid_value, precomputed_disp)
         disp, feats, cloud = self._compute_frame(
-            jnp.asarray(packed[..., 0]), jnp.asarray(packed[..., 1]),
-            jnp.asarray(packed[..., 2:5]),
-            disp_in=(jnp.asarray(packed[..., 5]) if precomputed_disp else None),
+            left, right, color, disp_in=disp_in,
         )
         prior = jnp.asarray(hostvec[:16].reshape(4, 4))
         pose, used_vo, count, matches = tracking_step(
@@ -95,10 +94,42 @@ class DistributedReconstructor(OnlineReconstructor):
             self._key, jnp.int32(int(hostvec[16])),
             cfg.matching, cfg.odometry,
         )
+        return prior, pose, feats, cloud, used_vo, count, matches
+
+    def _run_steady_step(self, packed, hostvec, kf, fuse,
+                         precomputed_disp: bool = False):
+        """Sharded stages can't fuse into the single-dispatch steady step
+        (the SGM slabs and BA shards are separate shard_map programs), so the
+        distributed loop keeps the multi-stage structure."""
+        from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
+
+        _, pose, feats, cloud, used_vo, count, matches = self._sharded_frame(
+            packed, hostvec, kf, precomputed_disp)
         staging = self._staging
         if fuse:
             staging = _fusion_stage(staging, cloud, pose)
         return staging, pose, feats, used_vo, count, matches
+
+    def _run_steady_step_kf(self, packed, hostvec, kf, fuse,
+                            precomputed_disp: bool = False):
+        """Keyframe event: sharded frame stages, then the device-window BA
+        with the psum-sharded Schur solve; the map insert uses the refined
+        pose, exactly like the single-chip fused variant."""
+        from online_3d_reconstruction_tpu.ba.device_tracks import keyframe_step
+        from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
+
+        prior, pose, feats, cloud, used_vo, count, matches = self._sharded_frame(
+            packed, hostvec, kf, precomputed_disp)
+        ba_state, refined, _ = keyframe_step(
+            self._ba_state, feats.points3d, feats.valid3d,
+            matches.index, matches.valid, pose, prior,
+            self.cfg.ba, self.mesh,
+        )
+        pose_ref = refined[ba_state.count - 1]
+        staging = self._staging
+        if fuse:
+            staging = _fusion_stage(staging, cloud, pose_ref)
+        return staging, pose_ref, feats, used_vo, count, ba_state, refined
 
     def _compute_frame(self, left, right, color, disp_in=None):
         cfg = self.cfg

@@ -106,23 +106,36 @@ def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> Glob
     return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
 
 
+def unpack_frame(packed, invalid_value: float, precomputed_disp: bool):
+    """Device-side inverse of ``pack_frame``: uint8 planes -> [0,1] float
+    images (+ the 1/16-px fixed-point disparity when present)."""
+    pf = packed[..., :5].astype(jnp.float32) * (1.0 / 255.0)
+    left, right, color = pf[..., 0], pf[..., 1], pf[..., 2:5]
+    disp = None
+    if precomputed_disp:
+        raw = (packed[..., 5].astype(jnp.float32)
+               + 256.0 * packed[..., 6].astype(jnp.float32))
+        disp = jnp.where(raw >= 65535.0, invalid_value, raw * (1.0 / 16.0))
+    return left, right, color, disp
+
+
 def _packed_frame_body(packed, hostvec, map_left, map_right, q,
                        stereo_cfg, feat_cfg, odo_cfg, map_cfg,
                        precomputed_disp: bool):
     """Shared device body: unpack -> rectify -> disparity -> features ->
     camera-frame cloud. ``precomputed_disp`` (static) selects the reference's
     offline mode (SURVEY.md C5): the packed tensor then carries the supplied
-    rectified-left disparity as channel 5 and SGM is skipped entirely.
+    rectified-left disparity as fixed-point channels 5-6 and SGM is skipped
+    entirely.
     """
-    left, right, color = packed[..., 0], packed[..., 1], packed[..., 2:5]
+    left, right, color, disp = unpack_frame(
+        packed, stereo_cfg.invalid_value, precomputed_disp)
     prior = hostvec[:16].reshape(4, 4)
     frame_idx = hostvec[16].astype(jnp.int32)
 
     left_r, right_r = rectify_pair(left, right, map_left, map_right)
     color_r = remap_bilinear(color, map_left)
-    if precomputed_disp:
-        disp = packed[..., 5]
-    else:
+    if not precomputed_disp:
         disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
     cloud = backproject_disparity(
@@ -204,19 +217,42 @@ def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
 
 
 def pack_frame(frame: FrameData, use_disparity: bool = False) -> np.ndarray:
-    """Host-side packing of (left, right, color[, disparity]) into one
-    (H, W, 5|6) upload. ``use_disparity`` appends ``frame.disparity`` as
-    channel 5 for the precomputed-disparity (offline) mode."""
-    planes = [frame.left[..., None], frame.right[..., None], frame.color]
+    """Host-side packing of (left, right, color[, disparity]) into ONE uint8
+    (H, W, 5|7) upload.
+
+    uint8 is deliberate: the relay-attached TPU's host->device wire is the
+    online loop's bottleneck (~25-40 MB/s measured — BASELINE.md), so the
+    f32 packing cost ~90 ms/frame of pure upload. 8-bit is also exactly what
+    a real camera delivers. The optional precomputed disparity (offline mode)
+    travels as 1/16-px uint16 fixed point split into lo/hi byte planes
+    (sentinel 0xFFFF = invalid), matching cv2's 4-fraction-bit convention.
+    """
+    def q8(x):
+        return np.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+
+    planes = [q8(frame.left)[..., None], q8(frame.right)[..., None],
+              q8(frame.color)]
     if use_disparity:
-        planes.append(frame.disparity[..., None])
-    return np.concatenate(planes, axis=2, dtype=np.float32)
+        d = np.asarray(frame.disparity, dtype=np.float32)
+        fixed = np.where(d >= 0.0, np.clip(np.round(d * 16.0), 0, 65534),
+                         65535).astype(np.uint16)
+        planes.append((fixed & 0xFF).astype(np.uint8)[..., None])
+        planes.append((fixed >> 8).astype(np.uint8)[..., None])
+    return np.concatenate(planes, axis=2)
 
 
 class OnlineReconstructor:
     """Streaming driver: feed ``FrameData``, read back trajectory + map."""
 
     def __init__(self, config: PipelineConfig, rig: RectifiedRig):
+        if config.stereo.use_pallas and jax.default_backend() != "tpu":
+            # Mosaic kernels only compile on TPU; fall back to the portable
+            # lax.scan aggregation so the same config runs anywhere
+            import dataclasses
+
+            config = config.replace(
+                stereo=dataclasses.replace(config.stereo, use_pallas=False)
+            )
         self.cfg = config
         self.rig = rig
         if config.runtime.debug_nans:
@@ -329,8 +365,13 @@ class OnlineReconstructor:
             cfg.matching, cfg.ba, fuse, precomputed_disp,
         )
 
-    def process(self, frame: FrameData) -> dict:
-        """Run one frame through the full pipeline; returns frame metrics."""
+    def process(self, frame: FrameData, packed=None) -> dict:
+        """Run one frame through the full pipeline; returns frame metrics.
+
+        ``packed`` optionally supplies the pack_frame(frame) tensor — possibly
+        already device-resident — letting a prefetcher (or bench attribution
+        run) move the host packing + upload off the critical path.
+        """
         if self._t_start is None:
             self._t_start = time.perf_counter()
         timer = StageTimer()
@@ -370,16 +411,17 @@ class OnlineReconstructor:
                 hostvec[:16] = np.asarray(frame.prior_pose,
                                           dtype=np.float32).ravel()
                 hostvec[16] = self.frame_idx
+                if packed is None:
+                    packed = pack_frame(frame, use_disp)
                 if fuse_ba:
                     (self._staging, pose, feats, used_vo_j, count,
                      self._ba_state, refined) = self._run_steady_step_kf(
-                        pack_frame(frame, use_disp), hostvec, kf, fuse,
-                        use_disp)
+                        packed, hostvec, kf, fuse, use_disp)
                     matches = None  # consumed in-dispatch by the BA append
                 else:
                     self._staging, pose, feats, used_vo_j, count, matches = (
-                        self._run_steady_step(pack_frame(frame, use_disp),
-                                              hostvec, kf, fuse, use_disp)
+                        self._run_steady_step(packed, hostvec, kf, fuse,
+                                              use_disp)
                     )
                 fused = fuse
                 if cfg.runtime.sync_metrics:
@@ -519,11 +561,25 @@ class OnlineReconstructor:
             if kf.index < len(self.trajectory):
                 self.trajectory[kf.index] = np.asarray(kf.pose)
 
-    def finish(self, warmup_frames: int = 0) -> ReconstructionResult:
+    def snapshot_map(self):
+        """Fetch the CURRENT fused map (main pool + staged frames) and
+        trajectory for live visualization (SURVEY.md §2.1 C14) — one bulk
+        device_get, opt-in and periodic; the steady-state loop itself stays
+        sync-free. Returns (points (N,3), colors (N,3), trajectory (K,4,4))."""
+        pts, cols = map_to_numpy(self.gmap)
+        spts, scols = map_to_numpy(self._staging)
+        traj = (np.stack(jax.device_get(list(self.trajectory)))
+                if self.trajectory else np.zeros((0, 4, 4), np.float32))
+        return (np.concatenate([pts, spts]), np.concatenate([cols, scols]),
+                traj)
+
+    def finish(self, warmup_frames=None) -> ReconstructionResult:
         """Flush the map and return trajectory + fused cloud + metrics.
 
         ``warmup_frames`` frames are excluded from the metric summary's stage
-        means (they contain jit compiles; see MetricsLogger.summary).
+        means (they contain jit compiles; see MetricsLogger.summary). The
+        default (None) auto-detects them from stage-time outliers, so plain
+        ``reconstruct()`` users get steady-state summaries too.
         """
         jax.block_until_ready(self.gmap.points)
         elapsed = (time.perf_counter() - self._t_start) if self._t_start else 0.0
@@ -546,7 +602,10 @@ class OnlineReconstructor:
                     self.metrics.records[idx]["vo_inliers"] = int(c)
             self._pending_vo = []
         self._flush_ba_events()
+        if warmup_frames is None:
+            warmup_frames = self.metrics.auto_warmup()
         summary = self.metrics.summary(skip_first=warmup_frames)
+        summary["warmup_frames_excluded"] = warmup_frames
         summary["frames"] = self.frame_idx
         summary["keyframes"] = len(self.keyframes)
         if elapsed > 0:

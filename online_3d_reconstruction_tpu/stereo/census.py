@@ -78,3 +78,31 @@ def cost_volume(census_left: jnp.ndarray, census_right: jnp.ndarray,
     max_bits = jnp.int32(32)
     oob = (jnp.arange(w, dtype=jnp.int32)[:, None] - jnp.arange(d, dtype=jnp.int32)[None, :]) < 0
     return jnp.where(oob[None, :, :], max_bits, cost)
+
+
+@partial(jax.jit, static_argnames=("max_disparity",))
+def cost_volume_dl(census_left: jnp.ndarray, census_right: jnp.ndarray,
+                   max_disparity: int) -> jnp.ndarray:
+    """``cost_volume`` in the TPU-lane-friendly (H, D, W) layout.
+
+    The Pallas aggregation kernel (stereo/sgm_pallas.py) wants the line axis
+    W on lanes (multiple of 128) and D on sublanes: the (H, W, D) layout pads
+    D=64 up to 128 lanes in memory and doubles every DMA. Semantically
+    cost_dl[y, d, x] == cost[y, x, d].
+    """
+    h, w = census_left.shape
+    d = max_disparity
+
+    pad_val = jnp.uint32(0xFFFFFFFF)
+    padded_r = jnp.concatenate(
+        [jnp.full((h, d), pad_val, dtype=census_right.dtype), census_right], axis=1
+    )  # (H, W + D)
+    # (D, W) index grid: row d selects the right image shifted right by d
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :] - jnp.arange(d, dtype=jnp.int32)[:, None] + d
+    shifted_r = padded_r[:, cols]  # (H, D, W)
+
+    xor = census_left[:, None, :] ^ shifted_r
+    cost = jax.lax.population_count(xor).astype(jnp.int32)
+    max_bits = jnp.int32(32)
+    oob = (jnp.arange(w, dtype=jnp.int32)[None, :] - jnp.arange(d, dtype=jnp.int32)[:, None]) < 0
+    return jnp.where(oob[None, :, :], max_bits, cost)

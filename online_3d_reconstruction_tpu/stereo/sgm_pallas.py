@@ -163,28 +163,176 @@ def scan_pair(cost: jnp.ndarray, p1: float, p2: float,
 def aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float, num_paths: int = 4,
                      interpret: bool = False,
                      dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
-    """Drop-in replacement for sgm.aggregate_scan built on the Pallas kernel.
+    """Drop-in replacement for sgm.aggregate_scan built on the Pallas kernels.
 
     ``dtype`` is the storage dtype of the volumes the kernels stream through
-    HBM (StereoConfig.cost_dtype); the inter-pair accumulation and the
-    returned total are f32 regardless.
-    """
-    from online_3d_reconstruction_tpu.stereo.sgm import _deskew, _skew
+    HBM (StereoConfig.cost_dtype); the returned total is f32 regardless.
 
+    v3: thin adapter over the fused multi-direction kernel (below), which
+    works in the lane-friendly (S, D, L) layout; this keeps the public
+    (H, W, D) API for tests and the lax.scan-parity checks.
+    """
     if num_paths not in (2, 4, 8):
         raise ValueError(f"num_paths must be 2, 4, or 8, got {num_paths}")
-    h, w, _ = cost.shape
+    cost_dl = jnp.swapaxes(cost, 1, 2)  # (H, W, D) -> (H, D, W)
+    total = aggregate_fused(cost_dl, p1, p2, num_paths, interpret=interpret,
+                            dtype=dtype)
+    return jnp.swapaxes(total, 1, 2).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# v3: fused multi-direction kernel in (S, D, L) layout
+# ---------------------------------------------------------------------------
+#
+# Two structural wins over the per-pair scan_pair kernels above:
+#
+# 1. Layout (S, D, L): the disparity axis D (64) is the *sublane* axis and
+#    the line axis L (512) the *lane* axis, so every (D, L) slice maps to
+#    full (8,128)/(16,128) native tiles with no lane padding — the (..., D)
+#    layout pads D=64 up to 128 lanes and doubles every DMA.
+# 2. Direction fusion: while scanning along S with FULL-width lines, the
+#    diagonal recurrences only differ from the vertical one by a +-1 lane
+#    shift of the carry (predecessor of (y, x) on the (1,+-1) diagonal is
+#    (y-1, x-+1)); a zero-filled shift is exactly the fresh-edge initial
+#    condition. One forward pass therefore aggregates v + d+ + d- (3
+#    directions) in registers, writing only their SUM — the skewed volumes,
+#    their 5-pass scans, and the inter-pair adds of v2 all disappear.
+#    The horizontal pair is the same kernel (shifts=(0,)) on the (W, D, H)
+#    transpose, and its result seeds the fused pass's accumulator, saving
+#    the final add pass as well.
+#
+# 8-path HBM traffic: transpose (2) + h fwd (2) + h bwd (3) + transpose (2)
+# + tri fwd (3) + tri bwd (3) = 15 volume passes vs ~28 larger ones in v2;
+# with bf16 storage each pass is 25 MB at 384x512x64.
+
+
+def _step_dl(carry: jnp.ndarray, cost_slice: jnp.ndarray,
+             p1: float, p2: float) -> jnp.ndarray:
+    """One SGM step on a (D, L) line (disparity on sublanes, line on lanes)."""
+    min_prev = jnp.min(carry, axis=0, keepdims=True)
+    edge = jnp.full_like(carry[:1], _BIG)
+    d_minus = jnp.concatenate([edge, carry[:-1]], axis=0) + p1
+    d_plus = jnp.concatenate([carry[1:], edge], axis=0) + p1
+    best = jnp.minimum(jnp.minimum(carry, min_prev + p2),
+                       jnp.minimum(d_minus, d_plus))
+    return cost_slice + best - min_prev
+
+
+def _shift_lanes(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Shift a (D, L) tile along lanes with zero fill (zero = fresh path)."""
+    if shift == 0:
+        return x
+    zero = jnp.zeros_like(x[:, :1])
+    if shift > 0:   # value at lane l comes from lane l-1
+        return jnp.concatenate([zero, x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], zero], axis=1)
+
+
+def _multi_kernel(*refs, p1: float, p2: float, shifts: tuple,
+                  reverse: bool, has_init: bool, s_blk: int):
+    """Scan s_blk lines for len(shifts) directions at once, accumulating
+    their sum (plus optional init volume) into out. Carries persist in
+    scratch across sequential grid steps along the scan axis."""
+    if has_init:
+        init_ref, cost_ref, out_ref, carry_ref = refs
+    else:
+        cost_ref, out_ref, carry_ref = refs
+        init_ref = None
+    out_dtype = out_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    cs = [carry_ref[k] for k in range(len(shifts))]
+    order = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    for s in order:
+        cost_s = cost_ref[s].astype(jnp.float32)
+        total = init_ref[s].astype(jnp.float32) if has_init else None
+        for k, sh in enumerate(shifts):
+            # reverse traversal of a diagonal flips the lane shift too
+            cs[k] = _step_dl(_shift_lanes(cs[k], -sh if reverse else sh),
+                             cost_s, p1, p2)
+            total = cs[k] if total is None else total + cs[k]
+        out_ref[s] = total.astype(out_dtype)
+    for k in range(len(shifts)):
+        carry_ref[k] = cs[k]
+
+
+def _pick_s_blk(d: int, l: int, itemsize: int) -> int:
+    """Scan-lines per grid block: keep each (s_blk, D, L) buffer near 1 MB
+    (the bwd call holds 3 double-buffered blocks inside the 16 MB scoped
+    VMEM limit, plus the carry scratch)."""
+    budget = max(1, _VMEM_BYTES // (d * l * itemsize))
+    blk = 1
+    while blk * 2 <= min(budget, 32):
+        blk *= 2
+    return blk
+
+
+def _one_call(cost, init, p1, p2, shifts, reverse, interpret, n_sb, s_blk):
+    s_pad, d, l = cost.shape
+    block = (s_blk, d, l)
+    idx = (lambda j: (n_sb - 1 - j, 0, 0)) if reverse else (lambda j: (j, 0, 0))
+    spec = pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
+    kw = dict(p1=float(p1), p2=float(p2), shifts=shifts, reverse=reverse,
+              has_init=init is not None, s_blk=s_blk)
+    operands = [cost] if init is None else [init, cost]
+    return pl.pallas_call(
+        functools.partial(_multi_kernel, **kw),
+        out_shape=jax.ShapeDtypeStruct((s_pad, d, l), cost.dtype),
+        grid=(n_sb,),
+        in_specs=[spec] * len(operands),
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((len(shifts), d, l), jnp.float32)],
+        input_output_aliases={0: 0} if init is not None else {},
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "diag", "interpret"))
+def scan_multi(cost: jnp.ndarray, p1: float, p2: float, diag: bool,
+               init: jnp.ndarray = None, interpret: bool = False) -> jnp.ndarray:
+    """Fwd+bwd SGM aggregation along axis 0 of (S, D, L), summed over the
+    vertical direction plus (``diag=True``) both diagonals; ``init`` (same
+    shape) seeds the accumulator. Zero padding along S is neutral (a zero
+    carry over zero cost stays zero = fresh edge), so the reverse pass can
+    start inside padding."""
+    s, d, l = cost.shape
+    shifts = (0, 1, -1) if diag else (0,)
+    s_blk = _pick_s_blk(d, l, cost.dtype.itemsize)
+    pad_s = (-s) % s_blk
+    if pad_s:
+        cost = jnp.pad(cost, ((0, pad_s), (0, 0), (0, 0)))
+        if init is not None:
+            init = jnp.pad(init, ((0, pad_s), (0, 0), (0, 0)))
+    n_sb = (s + pad_s) // s_blk
+
+    fwd = _one_call(cost, init, p1, p2, shifts, False, interpret, n_sb, s_blk)
+    total = _one_call(cost, fwd, p1, p2, shifts, True, interpret, n_sb, s_blk)
+    return total[:s] if pad_s else total
+
+
+def aggregate_fused(cost: jnp.ndarray, p1: float, p2: float,
+                    num_paths: int = 4, interpret: bool = False,
+                    dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """SGM path aggregation over 2/4/8 paths on an (H, D, W) cost volume.
+
+    The production TPU path (sgm.sgm_disparity uses it with the DL-layout
+    cost volume from census.cost_volume_dl). Returns (H, D, W) in the
+    storage ``dtype`` — downstream WTA reductions cast per-pixel results to
+    f32, which XLA fuses, so materializing an f32 volume here would only
+    add an extra 2x-sized pass.
+    """
+    if num_paths not in (2, 4, 8):
+        raise ValueError(f"num_paths must be 2, 4, or 8, got {num_paths}")
     cost = cost.astype(dtype)
 
-    # Horizontal pair: scan along W of the (W, H, D) transpose.
-    agg_h = scan_pair(jnp.swapaxes(cost, 0, 1), p1, p2, interpret=interpret)
-    total = jnp.swapaxes(agg_h, 0, 1).astype(jnp.float32)
-    if num_paths >= 4:
-        # Vertical pair: (H, W, D) scans along H directly.
-        total = total + scan_pair(cost, p1, p2, interpret=interpret).astype(jnp.float32)
-    if num_paths == 8:
-        for sign in (1, -1):
-            skewed = _skew(cost, sign)  # (H, W+H-1, D); diagonals -> columns
-            agg = scan_pair(skewed, p1, p2, interpret=interpret)
-            total = total + _deskew(agg.astype(jnp.float32), sign, w)
-    return total
+    # Horizontal pair: vertical scan of the (W, D, H) transpose.
+    h_sum_t = scan_multi(jnp.swapaxes(cost, 0, 2), p1, p2, diag=False,
+                         interpret=interpret)
+    h_sum = jnp.swapaxes(h_sum_t, 0, 2)
+    if num_paths == 2:
+        return h_sum
+    return scan_multi(cost, p1, p2, diag=(num_paths == 8), init=h_sum,
+                      interpret=interpret)

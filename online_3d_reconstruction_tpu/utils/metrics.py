@@ -33,6 +33,25 @@ class MetricsLogger:
             self._file.close()
             self._file = None
 
+    def auto_warmup(self) -> int:
+        """Number of leading frames to skip so stage means reflect steady
+        state: every frame whose summed stage time is a >3x outlier vs the
+        run median contains a jit compile (first frame, first keyframe,
+        first full BA window, first downsample — scattered through the
+        early run, not just frame 0); skip through the last such frame in
+        the first 80% of the run."""
+        totals = [
+            sum(v for k, v in r.items()
+                if k.startswith("t_") and isinstance(v, (int, float)))
+            for r in self.records
+        ]
+        if len(totals) < 4:
+            return 0
+        med = float(np.median(totals))
+        cutoff = int(0.8 * len(totals))
+        outliers = [i for i, t in enumerate(totals[:cutoff]) if t > 3.0 * med]
+        return max(outliers) + 1 if outliers else 0
+
     def summary(self, skip_first: int = 0) -> Dict:
         """Mean of every numeric field across frames.
 

@@ -42,6 +42,12 @@ class RooflinePoint:
 
     def report(self, peaks: Optional[Dict[str, float]] = None) -> Dict:
         peaks = peaks or TPU_V5E_PEAKS
+        if not np.isfinite(self.seconds) or self.seconds <= 0:
+            # measure_amortized could not resolve the kernel above the
+            # dispatch noise floor: publish the fact, never a fake number
+            return {"kernel": self.name, "invalid":
+                    "kernel too fast to resolve above dispatch noise",
+                    "notes": self.notes}
         bw = self.bytes_accessed / self.seconds / 1e9
         mxu = self.flops / self.seconds / 1e12
         vpu = self.vector_ops / self.seconds / 1e12
@@ -52,6 +58,12 @@ class RooflinePoint:
             ("hbm", bw_frac), ("mxu", mxu_frac), ("vpu", vpu_frac),
             key=lambda kv: kv[1],
         )
+        if bound[1] > 1.0:
+            # >100% of a hardware roof is by definition a measurement failure
+            return {"kernel": self.name, "invalid":
+                    f"measured {100.0 * bound[1]:.0f}% of {bound[0]} peak — "
+                    "impossible; timing below the resolvable floor",
+                    "time_ms": self.seconds * 1e3, "notes": self.notes}
         return {
             "kernel": self.name,
             "time_ms": self.seconds * 1e3,
@@ -86,7 +98,8 @@ def measure(fn: Callable, args, n: int = 5) -> float:
     return float(np.median(times))
 
 
-def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3) -> float:
+def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3,
+                      max_inner: int = 512) -> float:
     """Per-invocation seconds of ``fn`` with dispatch overhead removed.
 
     Runs ``fn`` 1x and ``inner``x inside single jitted ``lax.scan`` loops
@@ -94,6 +107,15 @@ def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3) -> float:
     iteration's input, so XLA cannot elide or overlap the repeats), times
     both with a forced host fetch (``block_until_ready`` can return early
     through the relay), and reports the slope (t_inner - t_1)/(inner - 1).
+
+    Self-validating: the relay round trip puts tens of ms of noise on both
+    timings, so a slope taken from an N-x run that is not measurably longer
+    than the 1-x run is garbage (BENCH_r02 published a 13 us kernel at
+    192,047% of HBM peak this way). If t_N < 1.3 * t_1, ``inner`` is raised
+    to ``max_inner`` and the measurement retried once; if the margin is
+    still not met the result is ``nan`` — callers must treat nan as
+    "too fast to resolve through this link" and refuse to publish a roofline
+    row from it.
     """
     import jax.numpy as jnp
 
@@ -122,13 +144,21 @@ def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3) -> float:
 
         return run
 
-    one, many = make(1), make(inner)
-    float(one(*args)), float(many(*args))  # compile both
-    t1s, tns = [], []
-    for _ in range(n):
-        t0 = time.perf_counter(); float(one(*args)); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(many(*args)); tns.append(time.perf_counter() - t0)
-    return max(float(np.median(tns) - np.median(t1s)) / (inner - 1), 1e-9)
+    one = make(1)
+    float(one(*args))  # compile
+    while True:
+        many = make(inner)
+        float(many(*args))  # compile
+        t1s, tns = [], []
+        for _ in range(n):
+            t0 = time.perf_counter(); float(one(*args)); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(many(*args)); tns.append(time.perf_counter() - t0)
+        t1, tn = float(np.median(t1s)), float(np.median(tns))
+        if tn > 1.3 * t1 and tn > t1:
+            return (tn - t1) / (inner - 1)
+        if inner >= max_inner:
+            return float("nan")
+        inner = max_inner
 
 
 # --------------------------------------------------------------------------
@@ -136,25 +166,26 @@ def measure_amortized(fn: Callable, args, inner: int = 8, n: int = 3) -> float:
 # --------------------------------------------------------------------------
 
 def sgm_aggregation_model(h: int, w: int, d: int, num_paths: int,
-                          seconds: float) -> RooflinePoint:
-    """SGM path aggregation (Pallas kernel, stereo/sgm_pallas.py).
+                          seconds: float, itemsize: int = 2) -> RooflinePoint:
+    """SGM path aggregation (fused multi-direction Pallas kernel,
+    stereo/sgm_pallas.py).
 
-    Memory: each direction-pair kernel reads the cost volume once and
-    writes the pair-sum once; pairs = num_paths/2 (diagonals read the
-    skewed volume, ~(w+h)/w larger). Compute: per cell per direction ~10
-    VPU ops (3 shifted adds, 5 mins, 1 sub, 1 add) + a D-wide min
-    reduction amortized to ~1 op/cell.
+    Memory is the PROBLEM's lower bound — read the cost volume once, write
+    the aggregation once (2 passes x itemsize); the implementation does ~15
+    passes (h-scan + seeded tri-scan + 2 transposes), so pct_of_binding_roof
+    measures distance to speed-of-light, not to our own traffic. Compute:
+    per cell per direction ~10 VPU ops (2 shifted adds, 5 mins, 1 sub,
+    1 add, carry shift) + the D-wide min reduction amortized ~1 op/cell —
+    at D=64, L=512 the kernel is VPU-bound, not HBM-bound.
     """
     cells = h * w * d
-    pairs = num_paths // 2
-    skew_factor = 1.0 + (num_paths == 8) * ((w + h) / w - 1.0) * 0.5
-    bytes_accessed = pairs * 2 * cells * 4 * skew_factor
+    bytes_accessed = 2 * cells * itemsize
     vector_ops = num_paths * cells * 11
     return RooflinePoint(
         name=f"sgm_aggregation_{num_paths}path_{h}x{w}x{d}",
         bytes_accessed=bytes_accessed, flops=0.0, vector_ops=vector_ops,
         seconds=seconds,
-        notes="sequential scan over lines; VPU min-tree per cell",
+        notes="fused v+diag lane-shift scan; bytes = problem lower bound",
     )
 
 

@@ -56,6 +56,31 @@ class TestDecode:
         out = native_loader.read_image(p)
         np.testing.assert_array_equal(out, img)
 
+    def test_png_byte_exact_vs_cv2(self, tmp_path):
+        """PNG (the real camera format, SURVEY.md C2): gray + color decode
+        must match cv2.imread byte for byte (PNG is lossless)."""
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(3)
+        g = rng.integers(0, 256, (31, 45), dtype=np.uint8)
+        pg = str(tmp_path / "g.png")
+        cv2.imwrite(pg, g)
+        np.testing.assert_array_equal(native_loader.read_image(pg), g)
+        c = rng.integers(0, 256, (31, 45, 3), dtype=np.uint8)
+        pc = str(tmp_path / "c.png")
+        cv2.imwrite(pc, c[:, :, ::-1])  # cv2 writes BGR; we decode to RGB
+        np.testing.assert_array_equal(native_loader.read_image(pc), c)
+
+    def test_jpeg_matches_cv2_decode(self, tmp_path):
+        """JPEG decode agrees with cv2's own libjpeg decode of the file."""
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(4)
+        c = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        p = str(tmp_path / "c.jpg")
+        cv2.imwrite(p, c[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 92])
+        out = native_loader.read_image(p)
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
     def test_missing_file_error(self, tmp_path):
         with pytest.raises(IOError):
             native_loader.read_image(str(tmp_path / "missing.npy"))

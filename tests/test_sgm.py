@@ -83,6 +83,46 @@ class TestAggregation:
         out = aggregate_pallas(cost, 8.0, 32.0, num_paths, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
+    def test_diagonals_match_bruteforce(self):
+        """8-path aggregation vs a literal per-pixel SGM recurrence over all
+        8 directions — in particular the diagonal fresh-start borders, which
+        the earlier skew-the-volume formulation got subtly wrong (pad cells
+        leaked a d-dependent residual into restarts)."""
+        rng = np.random.default_rng(3)
+        h, w, d = 10, 12, 4
+        cost = rng.integers(0, 24, size=(h, w, d)).astype(np.float32)
+        p1, p2 = 8.0, 32.0
+
+        def brute(dy, dx):
+            out = np.zeros_like(cost)
+            ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+            xs = range(w) if dx >= 0 else range(w - 1, -1, -1)
+            for y in ys:
+                for x in xs:
+                    py, px = y - dy, x - dx
+                    if 0 <= py < h and 0 <= px < w:
+                        prev = out[py, px]
+                        mp = prev.min()
+                        for dd in range(d):
+                            c = [prev[dd], mp + p2]
+                            if dd > 0:
+                                c.append(prev[dd - 1] + p1)
+                            if dd < d - 1:
+                                c.append(prev[dd + 1] + p1)
+                            out[y, x, dd] = cost[y, x, dd] + min(c) - mp
+                    else:
+                        out[y, x] = cost[y, x]
+            return out
+
+        dirs = [(0, 1), (0, -1), (1, 0), (-1, 0),
+                (1, 1), (-1, -1), (1, -1), (-1, 1)]
+        gt = sum(brute(dy, dx) for dy, dx in dirs)
+        agg = np.asarray(aggregate_scan(jnp.asarray(cost), p1, p2, 8))
+        np.testing.assert_allclose(agg, gt, rtol=1e-5)
+        pal = np.asarray(aggregate_pallas(jnp.asarray(cost), p1, p2, 8,
+                                          interpret=True))
+        np.testing.assert_allclose(pal, gt, rtol=1e-5)
+
 
 class TestWTA:
     def test_wta_picks_min_and_subpixel_in_range(self):
@@ -124,6 +164,29 @@ class TestSpeckle:
         valid = jnp.ones((8, 8), dtype=bool)
         out = speckle_filter(disp, valid, 0, 1.0)
         assert np.asarray(out).all()
+
+    def test_agreement_with_cv2_filter_speckles(self, stereo_frame):
+        """Oracle: cv2.filterSpeckles (exact connected components) on a real
+        disparity map. The run-cross mass is a LOWER bound on blob size, so
+        every pixel exact CC removes must be removed here too (no surviving
+        speckles); only rare thin shapes may be over-removed."""
+        cv2 = pytest.importorskip("cv2")
+        cfg = _cfg(speckle_window=0)
+        disp, valid = sgm_disparity(
+            jnp.asarray(stereo_frame.left), jnp.asarray(stereo_frame.right), cfg
+        )
+        disp = np.asarray(disp)
+        valid = np.asarray(valid)
+        ours = np.asarray(
+            speckle_filter(jnp.asarray(disp), jnp.asarray(valid), 50, 1.0)
+        )
+        fx = np.where(valid, np.round(disp * 16), -256).astype(np.int16)
+        cv2.filterSpeckles(fx, -256, 50, 16)  # max_diff 1.0 px == 16 units
+        ref = (fx != -256) & valid
+        missed = (~ref & ours).mean()        # speckle survived: must be ~0
+        over_removed = (ref & ~ours).mean()  # lower-bound over-removal: rare
+        assert missed < 0.001, f"surviving speckles {missed:.5f}"
+        assert over_removed < 0.005, f"over-removal {over_removed:.5f}"
 
 
 class TestEndToEnd:
