@@ -133,8 +133,12 @@ class DistributedReconstructor(OnlineReconstructor):
 
     def _compute_frame(self, left, right, color, disp_in=None):
         cfg = self.cfg
-        left_r, right_r = rectify_pair(left, right, self.map_left, self.map_right)
-        color_r = remap_bilinear(color, self.map_left)
+        if self._skip_rectify:
+            left_r, right_r, color_r = left, right, color
+        else:
+            left_r, right_r = rectify_pair(left, right, self.map_left,
+                                           self.map_right)
+            color_r = remap_bilinear(color, self.map_left)
         if disp_in is None:
             disp, valid = sharded_disparity(left_r, right_r, cfg.stereo,
                                             self.mesh, halo=self.sgm_halo)

@@ -68,18 +68,28 @@ class _Keyframe(NamedTuple):
     prior_pose: jnp.ndarray  # (4, 4) flight-log prior at that frame
 
 
-@partial(jax.jit, static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg"))
+@partial(jax.jit, static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
+                                   "skip_rectify"))
 def _frame_stage(left, right, color, map_left, map_right, q,
-                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, disp_in=None):
+                 stereo_cfg, feat_cfg, odo_cfg, map_cfg, disp_in=None,
+                 skip_rectify: bool = False):
     """Rectify -> disparity -> features -> camera-frame cloud (one dispatch).
 
     ``disp_in`` (optional (H, W) array) is a precomputed disparity map in the
     rectified-left frame — the reference's offline mode (SURVEY.md §2.1 C5
     "option to consume precomputed disparity images"): SGM is skipped and the
     supplied map feeds features + backprojection directly.
+
+    ``skip_rectify`` (static): the rig's maps are the identity (already-
+    rectified input, e.g. the synthetic oracle) — the remap gather would be
+    a pure no-op costing ~8 ms/frame on v5e.
     """
-    left_r, right_r = rectify_pair(left, right, map_left, map_right)
-    color_r = left_r if color is None else remap_bilinear(color, map_left)
+    if skip_rectify:
+        left_r, right_r = left, right
+        color_r = left_r if color is None else color
+    else:
+        left_r, right_r = rectify_pair(left, right, map_left, map_right)
+        color_r = left_r if color is None else remap_bilinear(color, map_left)
     if disp_in is None:
         disp, valid = sgm_disparity(left_r, right_r, stereo_cfg)
     else:
@@ -121,20 +131,23 @@ def unpack_frame(packed, invalid_value: float, precomputed_disp: bool):
 
 def _packed_frame_body(packed, hostvec, map_left, map_right, q,
                        stereo_cfg, feat_cfg, odo_cfg, map_cfg,
-                       precomputed_disp: bool):
+                       precomputed_disp: bool, skip_rectify: bool = False):
     """Shared device body: unpack -> rectify -> disparity -> features ->
     camera-frame cloud. ``precomputed_disp`` (static) selects the reference's
     offline mode (SURVEY.md C5): the packed tensor then carries the supplied
     rectified-left disparity as fixed-point channels 5-6 and SGM is skipped
-    entirely.
+    entirely. ``skip_rectify``: identity maps (see _frame_stage).
     """
     left, right, color, disp = unpack_frame(
         packed, stereo_cfg.invalid_value, precomputed_disp)
     prior = hostvec[:16].reshape(4, 4)
     frame_idx = hostvec[16].astype(jnp.int32)
 
-    left_r, right_r = rectify_pair(left, right, map_left, map_right)
-    color_r = remap_bilinear(color, map_left)
+    if skip_rectify:
+        left_r, right_r, color_r = left, right, color
+    else:
+        left_r, right_r = rectify_pair(left, right, map_left, map_right)
+        color_r = remap_bilinear(color, map_left)
     if not precomputed_disp:
         disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
@@ -150,12 +163,14 @@ def _packed_frame_body(packed, hostvec, map_left, map_right, q,
 
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
-                          "match_cfg", "fuse", "precomputed_disp"),
+                          "match_cfg", "fuse", "precomputed_disp",
+                          "skip_rectify"),
          donate_argnums=(0,))
 def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
                  kf_feats, kf_pose, kf_prior, key,
                  stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
-                 fuse: bool, precomputed_disp: bool = False):
+                 fuse: bool, precomputed_disp: bool = False,
+                 skip_rectify: bool = False):
     """The ENTIRE steady-state frame as one dispatch.
 
     On a relay-attached TPU every dispatch and host->device transfer pays a
@@ -168,6 +183,7 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
     prior, frame_idx, feats, cloud = _packed_frame_body(
         packed, hostvec, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
+        skip_rectify,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -182,12 +198,14 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
 
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
-                          "match_cfg", "ba_cfg", "fuse", "precomputed_disp"),
+                          "match_cfg", "ba_cfg", "fuse", "precomputed_disp",
+                          "skip_rectify"),
          donate_argnums=(0, 1))
 def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
                     kf_feats, kf_pose, kf_prior, key,
                     stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
-                    ba_cfg, fuse: bool, precomputed_disp: bool = False):
+                    ba_cfg, fuse: bool, precomputed_disp: bool = False,
+                    skip_rectify: bool = False):
     """Keyframe-event variant of ``_steady_step``: the window-BA append +
     track build + dense-Schur solve runs INSIDE the same dispatch, the map
     insert uses the BA-refined pose, and both the map pool and the BA window
@@ -199,6 +217,7 @@ def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
     prior, frame_idx, feats, cloud = _packed_frame_body(
         packed, hostvec, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
+        skip_rectify,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -262,6 +281,16 @@ class OnlineReconstructor:
         self.q = jnp.asarray(rig.q, dtype=jnp.float32)
         self.map_left = jnp.asarray(rig.map_left)
         self.map_right = jnp.asarray(rig.map_right)
+        # already-rectified input (identity maps, e.g. the synthetic oracle
+        # or a pre-rectified dataset): skip the remap gather (~8 ms/frame)
+        mh, mw = np.asarray(rig.map_left).shape[:2]
+        gx, gy = np.meshgrid(np.arange(mw, dtype=np.float32),
+                             np.arange(mh, dtype=np.float32))
+        ident = np.stack([gx, gy], axis=-1)
+        self._skip_rectify = bool(
+            np.array_equal(np.asarray(rig.map_left), ident)
+            and np.array_equal(np.asarray(rig.map_right), ident)
+        )
         self.gmap = create_map(config.mapping.map_capacity)
         self._capacity = config.mapping.map_capacity
         s = config.mapping.frame_point_stride
@@ -335,7 +364,7 @@ class OnlineReconstructor:
         return _frame_stage(
             left, right, color, self.map_left, self.map_right, self.q,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
-            disp_in=disp_in,
+            disp_in=disp_in, skip_rectify=self._skip_rectify,
         )
 
     def _run_steady_step(self, packed: np.ndarray, hostvec: np.ndarray,
@@ -349,7 +378,7 @@ class OnlineReconstructor:
             self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
-            cfg.matching, fuse, precomputed_disp,
+            cfg.matching, fuse, precomputed_disp, self._skip_rectify,
         )
 
     def _run_steady_step_kf(self, packed: np.ndarray, hostvec: np.ndarray,
@@ -363,6 +392,7 @@ class OnlineReconstructor:
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, cfg.ba, fuse, precomputed_disp,
+            self._skip_rectify,
         )
 
     def process(self, frame: FrameData, packed=None) -> dict:

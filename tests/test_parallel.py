@@ -49,6 +49,44 @@ class TestShardedBA:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestShardedWindowBA:
+    def test_keyframe_core_matches_single_device(self, mesh8):
+        """The distributed loop's device-window keyframe event (track build +
+        psum-sharded Schur solve) must reproduce the single-device solve —
+        the path that replaced the forced host-BA downgrade."""
+        from online_3d_reconstruction_tpu.ba.device_tracks import (
+            create_window,
+            keyframe_core,
+        )
+        from online_3d_reconstruction_tpu.config import BAConfig
+
+        cfg = BAConfig(window=4, max_landmarks=64, max_obs=512)
+        k = 64
+        rng = np.random.default_rng(7)
+
+        def run(mesh):
+            state = create_window(cfg.window, k)
+            refined = None
+            for i in range(5):
+                pts = rng.bit_generator.state  # keep rng in sync across runs
+                rng2 = np.random.default_rng(100 + i)
+                points = rng2.normal(0, 3, (k, 3)).astype(np.float32)
+                valid = rng2.random(k) < 0.9
+                match_idx = rng2.integers(0, k, k).astype(np.int32)
+                match_ok = rng2.random(k) < 0.7
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, 3] = [i, 0.1 * i, 0.0]
+                state, refined, _ = keyframe_core(
+                    state, jnp.asarray(points), jnp.asarray(valid),
+                    jnp.asarray(match_idx), jnp.asarray(match_ok),
+                    jnp.asarray(pose), jnp.asarray(pose), cfg, mesh)
+            return np.asarray(refined)
+
+        single = run(None)
+        sharded = run(mesh8)
+        np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
 class TestBatchDisparity:
     def test_sharded_matches_unsharded(self, mesh8, scene, small_rig):
         from online_3d_reconstruction_tpu.io.synthetic import nadir_pose
