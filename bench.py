@@ -180,7 +180,10 @@ def _run_engine(cfg, rig, frames, n_warmup, n_timed, pre_upload: bool):
     timed = frames[n_warmup:n_warmup + n_timed]
     packed_list = None
     if pre_upload:
-        packed_list = [jax.device_put(pack_frame(f)) for f in timed]
+        packed_list = [
+            jax.device_put(engine.pack(f, frame_index=n_warmup + i))
+            for i, f in enumerate(timed)
+        ]
         jax.block_until_ready(packed_list)
 
     t0 = time.perf_counter()
@@ -234,11 +237,12 @@ def main() -> None:
     kernels = _kernel_benchmarks()
 
     from online_3d_reconstruction_tpu.runtime.pipeline import pack_frame
+    cs = cfg.mapping.frame_point_stride
     t0 = time.perf_counter()
     for f in frames[n_warmup:n_warmup + n_timed]:
-        pack_frame(f)
+        pack_frame(f, color_stride=cs)
     pack_ms = (time.perf_counter() - t0) / n_timed * 1e3
-    upload_bytes = pack_frame(frames[0]).nbytes
+    upload_bytes = pack_frame(frames[0], color_stride=cs).nbytes
 
     detail = {
         "kernels": kernels,

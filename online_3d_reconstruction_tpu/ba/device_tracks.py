@@ -122,12 +122,16 @@ def _chain_roots(match_idx: jnp.ndarray, match_ok: jnp.ndarray) -> jnp.ndarray:
     return roots
 
 
-def build_problem(state: WindowState, max_landmarks: int
+def build_problem(state: WindowState, max_landmarks: int,
+                  noise_model: "Tuple[float, float] | None" = None
                   ) -> Tuple[BAProblem, dict]:
     """Pack the window into a fixed-capacity BAProblem (pure device code).
 
     Landmark = maximal match chain with >= 2 valid 3D observations inside the
-    live window. Returns (problem, stats) where stats holds device scalars
+    live window. ``noise_model`` = (depth_coeff, lateral_coeff) enables the
+    anisotropic stereo observation weights (ba.problem.stereo_obs_weights);
+    the pipeline derives it from the rig as (sigma_d/(fx b), sigma_px/fx).
+    Returns (problem, stats) where stats holds device scalars
     {landmarks, observations, dropped_landmarks}.
     """
     w, k = state.valid3d.shape
@@ -190,6 +194,13 @@ def build_problem(state: WindowState, max_landmarks: int
     lm_valid = lm_cnt > 0
     lm_init = lm_sum / jnp.maximum(lm_cnt, 1.0)[:, None]
 
+    obs_weight = None
+    if noise_model is not None:
+        from online_3d_reconstruction_tpu.ba.problem import stereo_obs_weights
+
+        depth_coeff, lateral_coeff = noise_model
+        obs_weight = stereo_obs_weights(obs_pt, depth_coeff, lateral_coeff)
+
     problem = BAProblem(
         poses=state.poses,
         landmarks=lm_init,
@@ -200,6 +211,7 @@ def build_problem(state: WindowState, max_landmarks: int
         obs_valid=obs_valid,
         priors=state.priors,
         prior_valid=live[:, 0],
+        obs_weight=obs_weight,
     )
     stats = {
         "landmarks": jnp.minimum(n_lm, l_cap),
@@ -219,6 +231,7 @@ def keyframe_core(
     prior: jnp.ndarray,
     cfg: BAConfig,
     mesh=None,
+    noise_model=None,
 ) -> Tuple[WindowState, jnp.ndarray, dict]:
     """Append a keyframe and refine the window (traceable body; see
     ``keyframe_step`` for the standalone jitted form — the online loop
@@ -235,7 +248,7 @@ def keyframe_core(
     steps leave poses unchanged).
     """
     state = _append(state, points3d, valid3d, match_idx, match_ok, pose, prior)
-    problem, stats = build_problem(state, cfg.max_landmarks)
+    problem, stats = build_problem(state, cfg.max_landmarks, noise_model)
     # absolute priors on position AND rotation fix the gauge completely (and
     # bound drift); the hard first-pose anchor would pin the window to its
     # own dead-reckoned drift, so it only applies when priors are off
@@ -264,5 +277,6 @@ def keyframe_core(
 
 
 # standalone jitted form: one dispatch per keyframe event, state donated
-keyframe_step = partial(jax.jit, static_argnames=("cfg", "mesh"),
+keyframe_step = partial(jax.jit,
+                        static_argnames=("cfg", "mesh", "noise_model"),
                         donate_argnums=(0,))(keyframe_core)

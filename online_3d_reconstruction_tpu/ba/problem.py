@@ -43,6 +43,13 @@ class BAProblem(NamedTuple):
     # bounds the reference's. None disables the terms.
     priors: "jnp.ndarray | None" = None       # (W, 4, 4)
     prior_valid: "jnp.ndarray | None" = None  # (W,) bool
+    # optional per-observation per-component information weights (1/sigma^2),
+    # in the observation's own (camera) frame. Stereo-lifted points are
+    # strongly anisotropic — sigma_z ~ z^2 * sigma_d / (fx b) can be 25x the
+    # lateral sigma_xy ~ z * sigma_px / fx at survey altitude — so isotropic
+    # weighting throws away almost all of the (precise) lateral information.
+    # None = unit weights (the unweighted classical form).
+    obs_weight: "jnp.ndarray | None" = None   # (N, 3)
 
 
 def prior_residuals(poses: jnp.ndarray, problem: BAProblem
@@ -126,11 +133,43 @@ def jacobians(poses: jnp.ndarray, landmarks: jnp.ndarray,
     return jnp.where(mask, j_pose, 0.0), jnp.where(mask, j_point, 0.0)
 
 
+def weighted_sqnorm(r: jnp.ndarray, problem: BAProblem) -> jnp.ndarray:
+    """(N,) squared residual norm in whitened units: sum_c w_c r_c^2.
+
+    With ``obs_weight`` set this is dimensionless (sigma units); without it
+    plain |r|^2 in metres^2 — the classical isotropic form.
+    """
+    if problem.obs_weight is not None:
+        return jnp.sum(problem.obs_weight * r * r, axis=-1)
+    return jnp.sum(r * r, axis=-1)
+
+
+def stereo_obs_weights(points: jnp.ndarray, depth_coeff: float,
+                       lateral_coeff: float, min_depth: float = 1.0
+                       ) -> jnp.ndarray:
+    """(N, 3) information weights from the stereo triangulation noise model.
+
+    For a camera-frame point at depth z from a rectified pair with focal fx
+    and baseline b:  sigma_z = z^2 * sigma_d / (fx b) (disparity noise
+    sigma_d), sigma_x = sigma_y = z * sigma_px / fx (localization noise
+    sigma_px). Callers pass depth_coeff = sigma_d / (fx b) and
+    lateral_coeff = sigma_px / fx; weights are 1/sigma^2 per component.
+    """
+    z = jnp.maximum(jnp.abs(points[..., 2]), min_depth)
+    w_lat = 1.0 / (lateral_coeff * z) ** 2
+    w_z = 1.0 / (depth_coeff * z * z) ** 2
+    return jnp.stack([w_lat, w_lat, w_z], axis=-1)
+
+
 def total_cost(poses: jnp.ndarray, landmarks: jnp.ndarray,
                problem: BAProblem, huber_delta: float = 0.0) -> jnp.ndarray:
-    """Scalar robust cost (0.5 sum rho(|r|^2)); huber_delta<=0 = pure L2."""
+    """Scalar robust cost (0.5 sum rho(|r|_W^2)); huber_delta<=0 = pure L2.
+
+    The norm is the whitened one when the problem carries ``obs_weight``
+    (huber_delta is then in sigma units), else metres.
+    """
     r = residuals(poses, landmarks, problem)
-    sq = jnp.sum(r * r, axis=-1)
+    sq = weighted_sqnorm(r, problem)
     if huber_delta > 0:
         norm = jnp.sqrt(jnp.maximum(sq, 1e-18))
         lin = huber_delta * (2.0 * norm - huber_delta)
@@ -140,7 +179,11 @@ def total_cost(poses: jnp.ndarray, landmarks: jnp.ndarray,
     return 0.5 * jnp.sum(jnp.where(problem.obs_valid, cost, 0.0))
 
 
-def huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
-    """(N,) IRLS weights for the Huber loss on the 3-vector residual norm."""
-    norm = jnp.linalg.norm(r, axis=-1)
+def huber_weights(r: jnp.ndarray, delta: float,
+                  problem: "BAProblem | None" = None) -> jnp.ndarray:
+    """(N,) IRLS weights for the Huber loss on the (whitened) residual norm."""
+    if problem is not None:
+        norm = jnp.sqrt(jnp.maximum(weighted_sqnorm(r, problem), 1e-24))
+    else:
+        norm = jnp.linalg.norm(r, axis=-1)
     return jnp.where(norm <= delta, 1.0, delta / jnp.maximum(norm, 1e-12))

@@ -58,8 +58,13 @@ def accumulate_normal_blocks(poses, landmarks, problem: BAProblem,
     j_pose, j_point = jacobians(poses, landmarks, problem)
     w = problem.obs_valid.astype(jnp.float32)
     if huber_delta > 0:
-        w = w * huber_weights(r, huber_delta)
-    wj = w[:, None, None]
+        w = w * huber_weights(r, huber_delta, problem)
+    # total row weight = validity * IRLS scalar * per-component information
+    # (J^T W J with W = diag(w * w_c) — anisotropic stereo noise model)
+    wc = w[:, None]
+    if problem.obs_weight is not None:
+        wc = wc * problem.obs_weight                      # (N, 3)
+    wj = wc[:, :, None]
 
     jp_w = j_pose * wj                                    # (N, 3, 6)
     jx_w = j_point * wj                                   # (N, 3, 3)

@@ -39,9 +39,12 @@ class WindowBA:
     compatible signature) to run the observation-sharded multi-device solve.
     """
 
-    def __init__(self, config: BAConfig, solver=None):
+    def __init__(self, config: BAConfig, solver=None, noise_model=None):
         self.cfg = config
         self.solver = solver or solve_ba
+        # (depth_coeff, lateral_coeff) for the anisotropic stereo observation
+        # weights (ba.problem.stereo_obs_weights); None = unit weights
+        self.noise_model = noise_model
         self.keyframes: List[_KfRecord] = []
         self._next_lm = 0
         self.last_stats: Dict = {}
@@ -158,6 +161,14 @@ class WindowBA:
         lm_valid = lm_cnt > 0
         lm_init[lm_valid] /= lm_cnt[lm_valid, None]
 
+        obs_weight = None
+        if self.noise_model is not None:
+            from online_3d_reconstruction_tpu.ba.problem import stereo_obs_weights
+
+            obs_weight = stereo_obs_weights(
+                jnp.asarray(obs_pt_a), *self.noise_model
+            )
+
         problem = BAProblem(
             poses=jnp.asarray(poses0),
             landmarks=jnp.asarray(lm_init),
@@ -166,6 +177,7 @@ class WindowBA:
             obs_lm=jnp.asarray(obs_lm_a),
             obs_point=jnp.asarray(obs_pt_a),
             obs_valid=jnp.asarray(obs_ok_a),
+            obs_weight=obs_weight,
         )
         poses_ref, _, cost_trace = self.solver(
             problem,

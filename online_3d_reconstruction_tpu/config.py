@@ -97,7 +97,22 @@ class BAConfig:
     max_obs: int = 4096              # static observation capacity per solve
     gn_iters: int = 5                # damped Gauss-Newton iterations
     damping: float = 1e-4            # Levenberg-Marquardt lambda
-    huber_delta: float = 0.5         # robust loss width (metres)
+    huber_delta: float = 0.5         # robust loss width, in units of the
+                                     # residual norm: metres when
+                                     # obs_weighting is off (default), sigmas
+                                     # when on (~3 is the classical knee)
+    # anisotropic stereo observation weighting (opt-in): each 3D observation
+    # gets per-component information weights 1/sigma^2 with sigma_z = z^2
+    # sigma_d / (fx b) and sigma_xy = z sigma_px / fx. Measured on the bench
+    # scene (tools/ate_lab.py): the whitened solve does NOT beat the
+    # isotropic one — track lateral errors are correlated (integer-pixel
+    # FAST/BRIEF localization bias), so upweighting them 500x overrules the
+    # GPS priors with biased constraints (ATE 0.58 vs 0.20 unweighted at
+    # sigma_px=0.5; parity only at sigma_px>=2). Kept as an option for rigs
+    # with subpixel feature localization.
+    obs_weighting: bool = False
+    sigma_disparity: float = 1.0     # 1-sigma disparity noise (px, subpixel SGM)
+    sigma_pixel: float = 2.0         # 1-sigma keypoint localization noise (px)
     anchor_first: bool = True        # gauge fix: freeze the first pose in window
                                      # (ignored when both prior weights > 0 —
                                      # absolute priors then fix the gauge)

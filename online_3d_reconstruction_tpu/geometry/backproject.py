@@ -59,11 +59,15 @@ def backproject_disparity(
     min_depth: float = 0.1,
     max_depth: float = jnp.inf,
     invalid_value: float = -1.0,
+    color_prestrided: bool = False,
 ) -> PointCloud:
     """Backproject a (H, W) disparity map to a masked point cloud.
 
     color: (H, W) grayscale or (H, W, 3) RGB in [0, 1] or [0, 255].
     stride: static pixel subsample ("jump pixels" in the reference CLI).
+    color_prestrided: the color plane is already on the strided output grid
+    (ceil(H/stride), ceil(W/stride)) — the online loop ships color at the
+    cloud stride to cut host->device wire bytes (pipeline.pack_frame).
     """
     h, w = disparity.shape
     disp = disparity[::stride, ::stride]
@@ -91,7 +95,10 @@ def backproject_disparity(
 
     if color.ndim == 2:
         color = color[..., None].repeat(3, axis=-1)
-    col = color[::stride, ::stride, :3].astype(jnp.float32)
+    if color_prestrided:
+        col = color[:hh, :ww, :3].astype(jnp.float32)
+    else:
+        col = color[::stride, ::stride, :3].astype(jnp.float32)
     if color.dtype == jnp.uint8:  # static dtype check: normalize uint8 to [0, 1]
         col = col / 255.0
 

@@ -139,6 +139,16 @@ def _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg):
     )
     used_vo = fit_ok & enough
     rel = jnp.where(used_vo, t_vo, prior_rel)
+    # Downstream (window BA) links landmark tracks through these matches.
+    # Ratio + cross-check still pass wrong matches whose lateral error is
+    # metres at survey altitude; one bad link merges two physical points into
+    # one landmark and poisons every pose observing it (measured: track
+    # residual RMS 1.4 m lateral vs ~4 cm for the RANSAC-consistent subset).
+    # Gate the exported match validity on geometric consistency whenever the
+    # rigid fit succeeded; on fallback keep the raw matches (no geometry to
+    # gate with).
+    ba_valid = jnp.where(used_vo, matches.valid & inlier_mask, matches.valid)
+    matches = matches._replace(valid=ba_valid)
     return rel, used_vo, count, matches
 
 

@@ -41,6 +41,11 @@ from online_3d_reconstruction_tpu.parallel.mesh import pad_to_multiple
 
 def _pad_observations(problem: BAProblem, n_devices: int) -> BAProblem:
     n = problem.obs_kf.shape[0]
+    # the shard_map pytree is static: materialize unit weights when absent
+    if problem.obs_weight is None:
+        problem = problem._replace(
+            obs_weight=jnp.ones((n, 3), jnp.float32)
+        )
     target = pad_to_multiple(n, n_devices)
     if target == n:
         return problem
@@ -50,6 +55,8 @@ def _pad_observations(problem: BAProblem, n_devices: int) -> BAProblem:
         obs_lm=jnp.pad(problem.obs_lm, (0, pad)),
         obs_point=jnp.pad(problem.obs_point, ((0, pad), (0, 0))),
         obs_valid=jnp.pad(problem.obs_valid, (0, pad)),
+        obs_weight=jnp.pad(problem.obs_weight, ((0, pad), (0, 0)),
+                           constant_values=1.0),
     )
 
 
@@ -77,10 +84,12 @@ def solve_ba_sharded(
     n_dev = mesh.devices.size
     problem = _pad_observations(problem, n_dev)
 
-    def _accumulate(poses, landmarks, lm_valid, obs_kf, obs_lm, obs_pt, obs_ok):
+    def _accumulate(poses, landmarks, lm_valid, obs_kf, obs_lm, obs_pt,
+                    obs_ok, obs_w):
         local = BAProblem(
             poses=poses, landmarks=landmarks, lm_valid=lm_valid,
             obs_kf=obs_kf, obs_lm=obs_lm, obs_point=obs_pt, obs_valid=obs_ok,
+            obs_weight=obs_w,
         )
         blocks = accumulate_normal_blocks(poses, landmarks, local, huber_delta)
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), blocks)
@@ -88,7 +97,7 @@ def solve_ba_sharded(
     acc = shard_map(
         _accumulate,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(), P(), P()),
     )
 
@@ -124,7 +133,7 @@ def solve_ba_sharded(
             b, c, e, g_p, g_x = acc(
                 poses, landmarks, problem.lm_valid,
                 problem.obs_kf, problem.obs_lm, problem.obs_point,
-                problem.obs_valid,
+                problem.obs_valid, problem.obs_weight,
             )
             b, g_p = add_prior_blocks(poses, b, g_p)
             dp, dx = schur_solve(b, c, e, g_p, g_x, damping, anchor_first)

@@ -75,7 +75,7 @@ class DistributedReconstructor(OnlineReconstructor):
                 solver=functools.partial(solve_ba_sharded, mesh=mesh),
             )
 
-    def _sharded_frame(self, packed, hostvec, kf, precomputed_disp):
+    def _sharded_frame(self, packed, kf, precomputed_disp):
         """Per-frame sharded stages: stereo (P4) + features + tracking."""
         import jax.numpy as jnp
 
@@ -83,34 +83,36 @@ class DistributedReconstructor(OnlineReconstructor):
         from online_3d_reconstruction_tpu.runtime.pipeline import unpack_frame
 
         cfg = self.cfg
-        left, right, color, disp_in = unpack_frame(
-            jnp.asarray(packed), cfg.stereo.invalid_value, precomputed_disp)
+        prior, frame_idx, left, right, color, disp_in = unpack_frame(
+            jnp.asarray(packed), cfg.stereo.height, cfg.stereo.width,
+            cfg.mapping.frame_point_stride, cfg.stereo.invalid_value,
+            precomputed_disp)
         disp, feats, cloud = self._compute_frame(
             left, right, color, disp_in=disp_in,
+            color_stride=cfg.mapping.frame_point_stride,
         )
-        prior = jnp.asarray(hostvec[:16].reshape(4, 4))
         pose, used_vo, count, matches = tracking_step(
             feats, kf.features, kf.pose, kf.prior_pose, prior,
-            self._key, jnp.int32(int(hostvec[16])),
+            self._key, frame_idx,
             cfg.matching, cfg.odometry,
         )
         return prior, pose, feats, cloud, used_vo, count, matches
 
-    def _run_steady_step(self, packed, hostvec, kf, fuse,
+    def _run_steady_step(self, packed, kf, fuse,
                          precomputed_disp: bool = False):
         """Sharded stages can't fuse into the single-dispatch steady step
         (the SGM slabs and BA shards are separate shard_map programs), so the
         distributed loop keeps the multi-stage structure."""
         from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
 
-        _, pose, feats, cloud, used_vo, count, matches = self._sharded_frame(
-            packed, hostvec, kf, precomputed_disp)
+        prior, pose, feats, cloud, used_vo, count, matches = (
+            self._sharded_frame(packed, kf, precomputed_disp))
         staging = self._staging
         if fuse:
             staging = _fusion_stage(staging, cloud, pose)
-        return staging, pose, feats, used_vo, count, matches
+        return staging, pose, prior, feats, used_vo, count, matches
 
-    def _run_steady_step_kf(self, packed, hostvec, kf, fuse,
+    def _run_steady_step_kf(self, packed, kf, fuse,
                             precomputed_disp: bool = False):
         """Keyframe event: sharded frame stages, then the device-window BA
         with the psum-sharded Schur solve; the map insert uses the refined
@@ -118,27 +120,35 @@ class DistributedReconstructor(OnlineReconstructor):
         from online_3d_reconstruction_tpu.ba.device_tracks import keyframe_step
         from online_3d_reconstruction_tpu.runtime.pipeline import _fusion_stage
 
-        prior, pose, feats, cloud, used_vo, count, matches = self._sharded_frame(
-            packed, hostvec, kf, precomputed_disp)
+        prior, pose, feats, cloud, used_vo, count, matches = (
+            self._sharded_frame(packed, kf, precomputed_disp))
         ba_state, refined, _ = keyframe_step(
             self._ba_state, feats.points3d, feats.valid3d,
             matches.index, matches.valid, pose, prior,
-            self.cfg.ba, self.mesh,
+            self.cfg.ba, self.mesh, noise_model=self._noise_model,
         )
         pose_ref = refined[ba_state.count - 1]
         staging = self._staging
         if fuse:
             staging = _fusion_stage(staging, cloud, pose_ref)
-        return staging, pose_ref, feats, used_vo, count, ba_state, refined
+        return staging, pose_ref, prior, feats, used_vo, count, ba_state, refined
 
-    def _compute_frame(self, left, right, color, disp_in=None):
+    def _compute_frame(self, left, right, color, disp_in=None,
+                       color_stride: int = 1):
         cfg = self.cfg
+        cs = max(int(color_stride), 1)
         if self._skip_rectify:
             left_r, right_r, color_r = left, right, color
         else:
             left_r, right_r = rectify_pair(left, right, self.map_left,
                                            self.map_right)
-            color_r = remap_bilinear(color, self.map_left)
+            if cs > 1:
+                # color arrives pre-strided: remap on the strided grid with
+                # source coords scaled into the subsampled plane
+                color_r = remap_bilinear(
+                    color, self.map_left[::cs, ::cs] / float(cs))
+            else:
+                color_r = remap_bilinear(color, self.map_left)
         if disp_in is None:
             disp, valid = sharded_disparity(left_r, right_r, cfg.stereo,
                                             self.mesh, halo=self.sgm_halo)
@@ -152,6 +162,7 @@ class DistributedReconstructor(OnlineReconstructor):
             min_depth=cfg.mapping.min_depth,
             max_depth=cfg.mapping.max_depth,
             invalid_value=cfg.stereo.invalid_value,
+            color_prestrided=(cs > 1),
         )
         return disp, feats, cloud
 

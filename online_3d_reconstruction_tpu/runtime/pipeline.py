@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,47 +116,83 @@ def _fusion_stage(gmap: GlobalMap, cloud: PointCloud, pose: jnp.ndarray) -> Glob
     return insert_cloud(gmap, PointCloud(world_pts, cloud.colors, cloud.valid))
 
 
-def unpack_frame(packed, invalid_value: float, precomputed_disp: bool):
-    """Device-side inverse of ``pack_frame``: uint8 planes -> [0,1] float
-    images (+ the 1/16-px fixed-point disparity when present)."""
-    pf = packed[..., :5].astype(jnp.float32) * (1.0 / 255.0)
-    left, right, color = pf[..., 0], pf[..., 1], pf[..., 2:5]
+_HEADER_FLOATS = 20      # prior pose (16) + frame index (1) + spare (3)
+_HEADER_BYTES = 4 * _HEADER_FLOATS
+
+
+def _color_grid(h: int, w: int, stride: int) -> Tuple[int, int]:
+    return -(-h // stride), -(-w // stride)
+
+
+def unpack_frame(packed, h: int, w: int, color_stride: int,
+                 invalid_value: float, precomputed_disp: bool):
+    """Device-side inverse of ``pack_frame``.
+
+    The flat uint8 buffer carries: an 80-byte float32 header (prior pose +
+    frame index — bitcast on device so the online loop never pays a separate
+    small host->device transfer, which costs a full ~28 ms relay round trip
+    per transfer), full-resolution left/right gray planes, the color plane
+    subsampled by ``color_stride`` (the cloud only samples color at the
+    backprojection stride anyway), and optionally the 1/16-px fixed-point
+    precomputed disparity. Returns (prior (4,4), frame_idx (), left, right,
+    color_s (hs, ws, 3), disp | None).
+    """
+    header = jax.lax.bitcast_convert_type(
+        packed[:_HEADER_BYTES].reshape(_HEADER_FLOATS, 4), jnp.float32)
+    prior = header[:16].reshape(4, 4)
+    frame_idx = header[16].astype(jnp.int32)
+
+    hw = h * w
+    off = _HEADER_BYTES
+    scale = jnp.float32(1.0 / 255.0)
+    left = packed[off:off + hw].reshape(h, w).astype(jnp.float32) * scale
+    off += hw
+    right = packed[off:off + hw].reshape(h, w).astype(jnp.float32) * scale
+    off += hw
+    hs, ws = _color_grid(h, w, color_stride)
+    color = (packed[off:off + hs * ws * 3].reshape(hs, ws, 3)
+             .astype(jnp.float32) * scale)
+    off += hs * ws * 3
     disp = None
     if precomputed_disp:
-        raw = (packed[..., 5].astype(jnp.float32)
-               + 256.0 * packed[..., 6].astype(jnp.float32))
+        lo = packed[off:off + hw].reshape(h, w).astype(jnp.float32)
+        hi = packed[off + hw:off + 2 * hw].reshape(h, w).astype(jnp.float32)
+        raw = lo + 256.0 * hi
         disp = jnp.where(raw >= 65535.0, invalid_value, raw * (1.0 / 16.0))
-    return left, right, color, disp
+    return prior, frame_idx, left, right, color, disp
 
 
-def _packed_frame_body(packed, hostvec, map_left, map_right, q,
+def _packed_frame_body(packed, map_left, map_right, q,
                        stereo_cfg, feat_cfg, odo_cfg, map_cfg,
                        precomputed_disp: bool, skip_rectify: bool = False):
     """Shared device body: unpack -> rectify -> disparity -> features ->
     camera-frame cloud. ``precomputed_disp`` (static) selects the reference's
-    offline mode (SURVEY.md C5): the packed tensor then carries the supplied
-    rectified-left disparity as fixed-point channels 5-6 and SGM is skipped
+    offline mode (SURVEY.md C5): the packed buffer then carries the supplied
+    rectified-left disparity as fixed-point planes and SGM is skipped
     entirely. ``skip_rectify``: identity maps (see _frame_stage).
     """
-    left, right, color, disp = unpack_frame(
-        packed, stereo_cfg.invalid_value, precomputed_disp)
-    prior = hostvec[:16].reshape(4, 4)
-    frame_idx = hostvec[16].astype(jnp.int32)
+    cs = map_cfg.frame_point_stride
+    prior, frame_idx, left, right, color, disp = unpack_frame(
+        packed, stereo_cfg.height, stereo_cfg.width, cs,
+        stereo_cfg.invalid_value, precomputed_disp)
 
     if skip_rectify:
         left_r, right_r, color_r = left, right, color
     else:
         left_r, right_r = rectify_pair(left, right, map_left, map_right)
-        color_r = remap_bilinear(color, map_left)
+        # color travels at the cloud stride: remap it on the strided output
+        # grid, with source coords scaled into the subsampled plane
+        color_r = remap_bilinear(color, map_left[::cs, ::cs] / float(cs))
     if not precomputed_disp:
         disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
     cloud = backproject_disparity(
         disp, color_r, q,
-        stride=map_cfg.frame_point_stride,
+        stride=cs,
         min_depth=map_cfg.min_depth,
         max_depth=map_cfg.max_depth,
         invalid_value=stereo_cfg.invalid_value,
+        color_prestrided=True,
     )
     return prior, frame_idx, feats, cloud
 
@@ -166,7 +202,7 @@ def _packed_frame_body(packed, hostvec, map_left, map_right, q,
                           "match_cfg", "fuse", "precomputed_disp",
                           "skip_rectify"),
          donate_argnums=(0,))
-def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
+def _steady_step(gmap, packed, map_left, map_right, q,
                  kf_feats, kf_pose, kf_prior, key,
                  stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
                  fuse: bool, precomputed_disp: bool = False,
@@ -174,14 +210,16 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
     """The ENTIRE steady-state frame as one dispatch.
 
     On a relay-attached TPU every dispatch and host->device transfer pays a
-    fixed round-trip latency, so the loop ships one packed (H, W, 5|6) image
-    tensor (left | right | rgb [| disparity]) plus one 20-float host vector
-    (prior pose, frame index) and runs rectify -> SGM -> features ->
-    backproject -> tracking -> fusion in a single XLA program. Returns
-    (gmap', pose, feats, used_vo, inlier_count, matches).
+    fixed round-trip latency (~28 ms measured for even an 80-byte synced
+    upload), so the loop ships exactly ONE flat uint8 buffer per frame —
+    header (prior pose, frame index) + gray pair + strided color [+
+    disparity] — and runs rectify -> SGM -> features -> backproject ->
+    tracking -> fusion in a single XLA program. The unpacked prior is
+    returned so keyframe bookkeeping never re-uploads it. Returns
+    (gmap', pose, prior, feats, used_vo, inlier_count, matches).
     """
     prior, frame_idx, feats, cloud = _packed_frame_body(
-        packed, hostvec, map_left, map_right, q,
+        packed, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
         skip_rectify,
     )
@@ -193,29 +231,30 @@ def _steady_step(gmap, packed, hostvec, map_left, map_right, q,
         world_pts = se3.transform_points(pose, cloud.points)
         gmap = insert_cloud(gmap, PointCloud(world_pts, cloud.colors,
                                              cloud.valid))
-    return gmap, pose, feats, used_vo, count, matches
+    return gmap, pose, prior, feats, used_vo, count, matches
 
 
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
                           "match_cfg", "ba_cfg", "fuse", "precomputed_disp",
-                          "skip_rectify"),
+                          "skip_rectify", "noise_model"),
          donate_argnums=(0, 1))
-def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
+def _steady_step_kf(gmap, ba_state, packed, map_left, map_right, q,
                     kf_feats, kf_pose, kf_prior, key,
                     stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
                     ba_cfg, fuse: bool, precomputed_disp: bool = False,
-                    skip_rectify: bool = False):
+                    skip_rectify: bool = False, noise_model=None):
     """Keyframe-event variant of ``_steady_step``: the window-BA append +
     track build + dense-Schur solve runs INSIDE the same dispatch, the map
     insert uses the BA-refined pose, and both the map pool and the BA window
     are donated. The keyframe decision itself is host-side (it reads only
     the flight-log priors), so the host picks which variant to dispatch.
 
-    Returns (gmap', refined_pose, feats, used_vo, count, ba_state', refined).
+    Returns (gmap', refined_pose, prior, feats, used_vo, count, ba_state',
+    refined).
     """
     prior, frame_idx, feats, cloud = _packed_frame_body(
-        packed, hostvec, map_left, map_right, q,
+        packed, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
         skip_rectify,
     )
@@ -226,38 +265,51 @@ def _steady_step_kf(gmap, ba_state, packed, hostvec, map_left, map_right, q,
     ba_state, refined, _ = ba_keyframe_core(
         ba_state, feats.points3d, feats.valid3d,
         matches.index, matches.valid, pose, prior, ba_cfg,
+        noise_model=noise_model,
     )
     pose_ref = refined[ba_state.count - 1]
     if fuse:
         world_pts = se3.transform_points(pose_ref, cloud.points)
         gmap = insert_cloud(gmap, PointCloud(world_pts, cloud.colors,
                                              cloud.valid))
-    return gmap, pose_ref, feats, used_vo, count, ba_state, refined
+    return gmap, pose_ref, prior, feats, used_vo, count, ba_state, refined
 
 
-def pack_frame(frame: FrameData, use_disparity: bool = False) -> np.ndarray:
-    """Host-side packing of (left, right, color[, disparity]) into ONE uint8
-    (H, W, 5|7) upload.
+def pack_frame(frame: FrameData, use_disparity: bool = False,
+               color_stride: int = 1, frame_index: int = 0) -> np.ndarray:
+    """Host-side packing of one frame into ONE flat uint8 upload buffer.
+
+    Layout (see ``unpack_frame``): 80-byte float32 header (prior pose +
+    frame index) | left gray | right gray | color subsampled by
+    ``color_stride`` [| disparity lo | hi byte planes].
 
     uint8 is deliberate: the relay-attached TPU's host->device wire is the
-    online loop's bottleneck (~25-40 MB/s measured — BASELINE.md), so the
-    f32 packing cost ~90 ms/frame of pure upload. 8-bit is also exactly what
-    a real camera delivers. The optional precomputed disparity (offline mode)
-    travels as 1/16-px uint16 fixed point split into lo/hi byte planes
-    (sentinel 0xFFFF = invalid), matching cv2's 4-fraction-bit convention.
+    online loop's bottleneck (~25-40 MB/s measured — BASELINE.md), so f32
+    packing cost ~90 ms/frame of pure upload; 8-bit is also exactly what a
+    real camera delivers. The header rides in the same buffer because even
+    an 80-byte *separate* synced upload costs a full ~28 ms relay round
+    trip. Color travels at the backprojection stride (the only consumer).
+    The optional precomputed disparity (offline mode) travels as 1/16-px
+    uint16 fixed point split into lo/hi byte planes (sentinel 0xFFFF =
+    invalid), matching cv2's 4-fraction-bit convention.
     """
     def q8(x):
         return np.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
 
-    planes = [q8(frame.left)[..., None], q8(frame.right)[..., None],
-              q8(frame.color)]
+    header = np.zeros(_HEADER_FLOATS, dtype=np.float32)
+    header[:16] = np.asarray(frame.prior_pose, dtype=np.float32).ravel()
+    header[16] = float(frame_index)
+    cs = max(int(color_stride), 1)
+    parts = [header.view(np.uint8), q8(frame.left).ravel(),
+             q8(frame.right).ravel(),
+             np.ascontiguousarray(q8(frame.color)[::cs, ::cs]).ravel()]
     if use_disparity:
         d = np.asarray(frame.disparity, dtype=np.float32)
         fixed = np.where(d >= 0.0, np.clip(np.round(d * 16.0), 0, 65534),
                          65535).astype(np.uint16)
-        planes.append((fixed & 0xFF).astype(np.uint8)[..., None])
-        planes.append((fixed >> 8).astype(np.uint8)[..., None])
-    return np.concatenate(planes, axis=2)
+        parts.append((fixed & 0xFF).astype(np.uint8).ravel())
+        parts.append((fixed >> 8).astype(np.uint8).ravel())
+    return np.concatenate(parts)
 
 
 class OnlineReconstructor:
@@ -319,9 +371,17 @@ class OnlineReconstructor:
         self._ba = None
         self._ba_state = None
         self._ba_events: List = []   # (kf_indices, refined (W,4,4) handle)
+        # anisotropic observation weights need the rig's stereo geometry:
+        # depth_coeff = sigma_d / (fx b), lateral_coeff = sigma_px / fx
+        self._noise_model = None
+        if config.ba.obs_weighting and rig.fx > 0 and rig.baseline > 0:
+            self._noise_model = (
+                config.ba.sigma_disparity / (rig.fx * rig.baseline),
+                config.ba.sigma_pixel / rig.fx,
+            )
         if config.runtime.ba_every_keyframe:
             if config.runtime.host_ba:
-                self._ba = WindowBA(config.ba)
+                self._ba = WindowBA(config.ba, noise_model=self._noise_model)
             else:
                 self._ba_state = create_window(
                     config.ba.window, config.features.max_keypoints
@@ -367,46 +427,53 @@ class OnlineReconstructor:
             disp_in=disp_in, skip_rectify=self._skip_rectify,
         )
 
-    def _run_steady_step(self, packed: np.ndarray, hostvec: np.ndarray,
-                         kf: "_Keyframe", fuse: bool,
+    def pack(self, frame: FrameData, frame_index: "int | None" = None
+             ) -> np.ndarray:
+        """Pack a frame for this engine's config (prefetchers call this to
+        move the pack + upload off the critical path; see ``process``)."""
+        return pack_frame(
+            frame, self._use_disparity(frame),
+            color_stride=self.cfg.mapping.frame_point_stride,
+            frame_index=self.frame_idx if frame_index is None else frame_index,
+        )
+
+    def _run_steady_step(self, packed, kf: "_Keyframe", fuse: bool,
                          precomputed_disp: bool = False):
         """One fused device dispatch for a steady-state frame; the
         DistributedReconstructor overrides this with its sharded stages."""
         cfg = self.cfg
         return _steady_step(
-            self._staging, jnp.asarray(packed), jnp.asarray(hostvec),
+            self._staging, jnp.asarray(packed),
             self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, fuse, precomputed_disp, self._skip_rectify,
         )
 
-    def _run_steady_step_kf(self, packed: np.ndarray, hostvec: np.ndarray,
-                            kf: "_Keyframe", fuse: bool,
+    def _run_steady_step_kf(self, packed, kf: "_Keyframe", fuse: bool,
                             precomputed_disp: bool = False):
         """Keyframe-event dispatch: steady step + window BA fused."""
         cfg = self.cfg
         return _steady_step_kf(
             self._staging, self._ba_state, jnp.asarray(packed),
-            jnp.asarray(hostvec), self.map_left, self.map_right, self.q,
+            self.map_left, self.map_right, self.q,
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, cfg.ba, fuse, precomputed_disp,
-            self._skip_rectify,
+            self._skip_rectify, self._noise_model,
         )
 
     def process(self, frame: FrameData, packed=None) -> dict:
         """Run one frame through the full pipeline; returns frame metrics.
 
-        ``packed`` optionally supplies the pack_frame(frame) tensor — possibly
-        already device-resident — letting a prefetcher (or bench attribution
-        run) move the host packing + upload off the critical path.
+        ``packed`` optionally supplies the ``engine.pack(frame)`` buffer —
+        possibly already device-resident — letting a prefetcher (or bench
+        attribution run) move the host packing + upload off the critical path.
         """
         if self._t_start is None:
             self._t_start = time.perf_counter()
         timer = StageTimer()
         cfg = self.cfg
-        prior = jnp.asarray(frame.prior_pose, dtype=jnp.float32)
 
         used_vo: object = False
         inliers: object = 0
@@ -417,6 +484,7 @@ class OnlineReconstructor:
         use_disp = self._use_disparity(frame)
         if not self.keyframes:
             # first frame: anchor the world to the prior (no tracking target)
+            prior = jnp.asarray(frame.prior_pose, dtype=jnp.float32)
             with timer.stage("frame_compute"):
                 disp, feats, cloud = self._compute_frame(
                     jnp.asarray(frame.left), jnp.asarray(frame.right),
@@ -437,22 +505,17 @@ class OnlineReconstructor:
             is_kf = self._is_keyframe(frame.prior_pose)
             fuse_ba = is_kf and self._ba_state is not None
             with timer.stage("step"):
-                hostvec = np.zeros(20, dtype=np.float32)
-                hostvec[:16] = np.asarray(frame.prior_pose,
-                                          dtype=np.float32).ravel()
-                hostvec[16] = self.frame_idx
                 if packed is None:
-                    packed = pack_frame(frame, use_disp)
+                    packed = self.pack(frame)
                 if fuse_ba:
-                    (self._staging, pose, feats, used_vo_j, count,
+                    (self._staging, pose, prior, feats, used_vo_j, count,
                      self._ba_state, refined) = self._run_steady_step_kf(
-                        packed, hostvec, kf, fuse, use_disp)
+                        packed, kf, fuse, use_disp)
                     matches = None  # consumed in-dispatch by the BA append
                 else:
-                    self._staging, pose, feats, used_vo_j, count, matches = (
-                        self._run_steady_step(packed, hostvec, kf, fuse,
-                                              use_disp)
-                    )
+                    (self._staging, pose, prior, feats, used_vo_j, count,
+                     matches) = self._run_steady_step(packed, kf, fuse,
+                                                      use_disp)
                 fused = fuse
                 if cfg.runtime.sync_metrics:
                     used_vo = bool(used_vo_j)   # forces a device sync
@@ -481,6 +544,7 @@ class OnlineReconstructor:
                         self._ba_state, refined, _ = ba_keyframe_step(
                             self._ba_state, feats.points3d, feats.valid3d,
                             m_idx, m_ok, pose, prior, self.cfg.ba,
+                            noise_model=self._noise_model,
                         )
                         live = min(len(self.keyframes), self.cfg.ba.window)
                         # the newest slot's refined pose seeds the next

@@ -1,0 +1,97 @@
+"""ATE lab: fast CPU experiments on the bench scene's estimator quality.
+
+Runs the exact bench trajectory/scene in precomputed-GT-disparity mode
+(skipping SGM so a CPU run takes seconds, isolating the estimator from
+stereo quality), and reports ATE for the full stack vs prior-only
+dead-reckoning under different BA settings. Used to tune the anisotropic
+observation weighting (ba.problem.stereo_obs_weights) toward the VERDICT r2
+target: full-stack ATE <= 0.5x prior-only.
+
+Usage: python tools/ate_lab.py [--sgm] [--frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from online_3d_reconstruction_tpu.config import (  # noqa: E402
+    BAConfig, FeatureConfig, MappingConfig, OdometryConfig, PipelineConfig,
+    RuntimeConfig, StereoConfig)
+from online_3d_reconstruction_tpu.io.calibration import identity_rig  # noqa: E402
+from online_3d_reconstruction_tpu.io.dataset import SyntheticSequence  # noqa: E402
+from online_3d_reconstruction_tpu.io.synthetic import (  # noqa: E402
+    Plateau, SyntheticScene, make_survey_trajectory)
+from online_3d_reconstruction_tpu.runtime.pipeline import OnlineReconstructor  # noqa: E402
+from online_3d_reconstruction_tpu.utils.metrics import ate_rmse  # noqa: E402
+
+PRIOR_T_SIGMA = 0.15
+PRIOR_R_SIGMA = 0.01
+
+
+def run(cfg, rig, frames):
+    eng = OnlineReconstructor(cfg, rig)
+    for f in frames:
+        eng.process(f)
+    return eng.finish()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sgm", action="store_true",
+                    help="run real SGM instead of GT disparity (slow on CPU)")
+    ap.add_argument("--frames", type=int, default=32)
+    args = ap.parse_args()
+
+    h, w, d = 384, 512, 64
+    rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
+                       width=w, height=h)
+    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)])
+    poses = make_survey_trajectory(args.frames, altitude=30.0, speed=1.2)
+    dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses,
+                                prior_translation_sigma=PRIOR_T_SIGMA,
+                                prior_rotation_sigma=PRIOR_R_SIGMA)
+    frames = [dataset[i] for i in range(len(dataset))]
+    gt = np.stack([f.gt_pose for f in frames])
+    priors = np.stack([f.prior_pose for f in frames])
+    ate_prior = ate_rmse(priors, gt)
+    print(f"prior-only ATE: {ate_prior:.4f} m  (target full <= "
+          f"{0.5 * ate_prior:.4f})", flush=True)
+
+    base = PipelineConfig(
+        stereo=StereoConfig(height=h, width=w, max_disparity=d, num_paths=8,
+                            use_pallas=False),
+        features=FeatureConfig(max_keypoints=512, fast_threshold=5.0),
+        odometry=OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0),
+        ba=BAConfig(prior_position_weight=1.0 / PRIOR_T_SIGMA**2,
+                    prior_rotation_weight=1.0 / PRIOR_R_SIGMA**2),
+        mapping=MappingConfig(voxel_size=0.25, map_capacity=2_000_000,
+                              frame_point_stride=2, min_depth=1.0,
+                              max_depth=60.0),
+        runtime=RuntimeConfig(keyframe_translation=0.5, sync_metrics=False,
+                              use_precomputed_disparity=not args.sgm),
+    )
+
+    variants = {
+        "unweighted (r2 behavior)": dataclasses.replace(
+            base.ba, obs_weighting=False, huber_delta=0.5),
+        "weighted": base.ba,
+        "weighted W=16": dataclasses.replace(base.ba, window=16),
+        "weighted gn8": dataclasses.replace(base.ba, gn_iters=8),
+    }
+    for name, ba in variants.items():
+        cfg = base.replace(ba=ba)
+        res = run(cfg, rig, frames)
+        ate = ate_rmse(res.trajectory, gt)
+        print(f"{name:28s}: ATE {ate:.4f} m  ({ate / ate_prior:.2f}x prior)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
