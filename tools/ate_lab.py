@@ -78,12 +78,28 @@ def main():
                               use_precomputed_disparity=not args.sgm),
     )
 
+    w = dataclasses.replace(base.ba, obs_weighting=True)
     variants = {
         "unweighted (r2 behavior)": dataclasses.replace(
             base.ba, obs_weighting=False, huber_delta=0.5),
-        "weighted": base.ba,
-        "weighted W=16": dataclasses.replace(base.ba, window=16),
-        "weighted gn8": dataclasses.replace(base.ba, gn_iters=8),
+        "w px2 d1 hub3": dataclasses.replace(w, sigma_pixel=2.0,
+                                             sigma_disparity=1.0,
+                                             huber_delta=3.0),
+        "w px1 d1 hub3": dataclasses.replace(w, sigma_pixel=1.0,
+                                             sigma_disparity=1.0,
+                                             huber_delta=3.0),
+        "w px0.5 d1 hub3": dataclasses.replace(w, sigma_pixel=0.5,
+                                               sigma_disparity=1.0,
+                                               huber_delta=3.0),
+        "w px1 d0.5 hub3": dataclasses.replace(w, sigma_pixel=1.0,
+                                               sigma_disparity=0.5,
+                                               huber_delta=3.0),
+        "w px1 d1 hub3 W16": dataclasses.replace(w, sigma_pixel=1.0,
+                                                 sigma_disparity=1.0,
+                                                 huber_delta=3.0, window=16),
+        "w px0.5 hub0.5 (r3 note)": dataclasses.replace(w, sigma_pixel=0.5,
+                                                        sigma_disparity=1.0,
+                                                        huber_delta=0.5),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)
