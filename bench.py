@@ -97,7 +97,7 @@ def _kernel_benchmarks() -> dict:
     )
     out["matching"] = roofline.matching_model(ka, kb, 256, sec).report()
 
-    # BA: dense-Schur GN iterations/s
+    # BA: dense-Schur GN iterations/s at the sliding-window size ...
     problem, _, _ = make_synthetic_bundle(np.random.default_rng(1), w=8, l=256,
                                           obs_noise=0.02, n_cap=2048)
     gn_iters = 5
@@ -109,6 +109,22 @@ def _kernel_benchmarks() -> dict:
     rep = roofline.ba_schur_model(8, 256, 2048, gn_iters, sec).report()
     rep["ba_iters_per_s"] = _no_nan(gn_iters / sec)
     out["ba_schur"] = rep
+
+    # ... and at blueprint scale (SURVEY.md:424 "sliding 100-keyframe
+    # window"): W=64, L=2048, 512 obs/frame, slot-major accumulation
+    w64, l64, k64 = 64, 2048, 512
+    problem64, _, _ = make_synthetic_bundle(
+        np.random.default_rng(2), w=w64, l=l64, obs_noise=0.02,
+        n_cap=w64 * k64, obs_per_kf=k64)
+    sec = roofline.measure_amortized(
+        lambda eps, p: solve_ba(p._replace(obs_point=p.obs_point + eps),
+                                iters=gn_iters, damping=1e-4, huber_delta=0.5,
+                                slot_major=k64),
+        (jnp.float32(0.0), problem64), inner=4, max_inner=32,
+    )
+    rep = roofline.ba_schur_model(w64, l64, w64 * k64, gn_iters, sec).report()
+    rep["ba_iters_per_s"] = _no_nan(gn_iters / sec)
+    out["ba_schur_w64"] = rep
     return out
 
 
@@ -122,34 +138,59 @@ def _make_bench_setup():
         RuntimeConfig,
         StereoConfig,
     )
-    from online_3d_reconstruction_tpu.io.calibration import identity_rig
+    from online_3d_reconstruction_tpu.io.calibration import (
+        CameraIntrinsics,
+        StereoCalibration,
+        stereo_rectify,
+    )
     from online_3d_reconstruction_tpu.io.dataset import SyntheticSequence
     from online_3d_reconstruction_tpu.io.synthetic import (
         Plateau,
         SyntheticScene,
         make_survey_trajectory,
     )
+    import numpy as np
     import jax
 
     backend = jax.default_backend()
     h, w, d = 384, 512, 64
-    rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
-                       width=w, height=h)
-    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)])
+    # DISTORTED stereo rig: the reference's per-frame loop rectifies raw
+    # camera input (SURVEY.md:228), so the headline must include remap. The
+    # radial/tangential terms put ~8-15 px of warp at the image boundary —
+    # inside the feature border (20 px), so the fill region never spawns
+    # static fake corners.
+    cam = CameraIntrinsics(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2,
+                           width=w, height=h,
+                           dist=(-0.08, 0.01, 3e-4, -3e-4, 0.0))
+    calib = StereoCalibration(left=cam, right=cam,
+                              translation=np.array([-0.5, 0.0, 0.0]))
+    rig = stereo_rectify(calib)
+    # supersample=2: box pixel-footprint anti-aliasing (a real sensor
+    # integrates over the pixel) — required for subpixel feature
+    # localization to be physically observable in the oracle
+    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)],
+                           supersample=2)
     # warmup must traverse every compiled path: keyframes, a full BA window
     # (static width ba.window), and one periodic map downsample
     n_warmup, n_timed = 12, 20
     poses = make_survey_trajectory(n_warmup + n_timed, altitude=30.0, speed=1.2)
     dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses,
                                 prior_translation_sigma=PRIOR_T_SIGMA,
-                                prior_rotation_sigma=PRIOR_R_SIGMA)
+                                prior_rotation_sigma=PRIOR_R_SIGMA,
+                                calib=calib)
 
     cfg = PipelineConfig(
         stereo=StereoConfig(height=h, width=w, max_disparity=d, num_paths=8,
                             use_pallas=(backend == "tpu")),
         features=FeatureConfig(max_keypoints=512, fast_threshold=5.0),
         odometry=OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0),
-        ba=BAConfig(prior_position_weight=1.0 / PRIOR_T_SIGMA**2,
+        # honest sigmas: subpixel features + SGM parabola localize to a
+        # fraction of a pixel (tools/ba_bias.py measures ~0.2 px lateral);
+        # the full 3x3 information model (ba/problem.stereo_obs_information)
+        # whitens the ray-coupled anisotropic noise, huber knee at 3 sigma
+        ba=BAConfig(obs_weighting=True, sigma_pixel=0.5, sigma_disparity=0.5,
+                    huber_delta=3.0,
+                    prior_position_weight=1.0 / PRIOR_T_SIGMA**2,
                     prior_rotation_weight=1.0 / PRIOR_R_SIGMA**2),
         mapping=MappingConfig(voxel_size=0.25, map_capacity=2_000_000,
                               frame_point_stride=2, min_depth=1.0,
@@ -191,8 +232,12 @@ def _run_engine(cfg, rig, frames, n_warmup, n_timed, pre_upload: bool):
         for f, p in zip(timed, packed_list):
             engine.process(f, packed=p)
     else:
-        for f in timed:
-            engine.process(f)
+        # honest online path: the P5 worker thread packs + uploads ahead
+        # while the device crunches the current frame (runtime/prefetch.py)
+        from online_3d_reconstruction_tpu.runtime.prefetch import device_prefetch
+
+        for f, p in device_prefetch(iter(timed), engine, depth=2):
+            engine.process(f, packed=p)
     jax.block_until_ready(engine.gmap.points)
     float(jnp.asarray(engine._staging.cursor))
     elapsed = time.perf_counter() - t0
@@ -233,6 +278,12 @@ def main() -> None:
     _, res_vo = _run_engine(cfg_vo, rig, frames, n_warmup, n_timed,
                             pre_upload=True)
     ate_vo_only = ate_rmse(res_vo.trajectory, gt)
+    # aligned ATE is the standard odometry protocol: the VO chain anchors at
+    # the (noisy) first prior, so even PERFECT vision has unaligned ATE equal
+    # to |that anchor error| ~ the prior noise itself — the unaligned number
+    # measures the anchor gauge, not the vision (see BASELINE.md ATE section)
+    ate_vo_aligned = ate_rmse(res_vo.trajectory, gt, align=True)
+    ate_prior_aligned = ate_rmse(priors, gt, align=True)
 
     kernels = _kernel_benchmarks()
 
@@ -261,7 +312,9 @@ def main() -> None:
         "ate_m": {
             "full_stack": ate_full,
             "vo_only_no_ba": ate_vo_only,
+            "vo_only_no_ba_aligned": ate_vo_aligned,
             "prior_only_dead_reckoning": ate_prior_only,
+            "prior_only_aligned": ate_prior_aligned,
             "prior_noise_sigma_t": PRIOR_T_SIGMA,
         },
         "map_points": int(len(result.map_points)),

@@ -123,16 +123,15 @@ def _chain_roots(match_idx: jnp.ndarray, match_ok: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_problem(state: WindowState, max_landmarks: int,
-                  noise_model: "Tuple[float, float] | None" = None
-                  ) -> Tuple[BAProblem, dict]:
+                  noise_model=None) -> Tuple[BAProblem, dict]:
     """Pack the window into a fixed-capacity BAProblem (pure device code).
 
     Landmark = maximal match chain with >= 2 valid 3D observations inside the
-    live window. ``noise_model`` = (depth_coeff, lateral_coeff) enables the
-    anisotropic stereo observation weights (ba.problem.stereo_obs_weights);
-    the pipeline derives it from the rig as (sigma_d/(fx b), sigma_px/fx).
-    Returns (problem, stats) where stats holds device scalars
-    {landmarks, observations, dropped_landmarks}.
+    live window. ``noise_model`` (a ba.problem.StereoNoiseModel) enables the
+    full 3x3 per-observation information matrices
+    (ba.problem.stereo_obs_information); the pipeline builds it from the rig
+    geometry + BAConfig sigmas. Returns (problem, stats) where stats holds
+    device scalars {landmarks, observations, dropped_landmarks}.
     """
     w, k = state.valid3d.shape
     n = w * k
@@ -185,7 +184,10 @@ def build_problem(state: WindowState, max_landmarks: int,
     # landmark init: mean world lift under current poses. The per-slot pose
     # applies to a contiguous (W, K) block — an einsum, not a gather; the
     # per-landmark mean is a one-hot (L_cap, N) matmul, not a segment_sum.
-    world = (jnp.einsum("wij,wkj->wki", state.poses[:, :3, :3], state.points3d)
+    # HIGHEST: bf16 would quantize 30 m world coords to ~12 cm, poisoning
+    # the landmark initialization
+    world = (jnp.einsum("wij,wkj->wki", state.poses[:, :3, :3], state.points3d,
+                        precision=jax.lax.Precision.HIGHEST)
              + state.poses[:, None, :3, 3]).reshape(n, 3)
     onehot = ((lm_flat[:, None] == jnp.arange(l_cap, dtype=jnp.int32)[None, :])
               & obs_valid[:, None]).astype(jnp.float32)   # (N, L)
@@ -196,10 +198,9 @@ def build_problem(state: WindowState, max_landmarks: int,
 
     obs_weight = None
     if noise_model is not None:
-        from online_3d_reconstruction_tpu.ba.problem import stereo_obs_weights
+        from online_3d_reconstruction_tpu.ba.problem import stereo_obs_information
 
-        depth_coeff, lateral_coeff = noise_model
-        obs_weight = stereo_obs_weights(obs_pt, depth_coeff, lateral_coeff)
+        obs_weight = stereo_obs_information(obs_pt, noise_model)
 
     problem = BAProblem(
         poses=state.poses,
@@ -262,7 +263,10 @@ def keyframe_core(
         prior_rotation_weight=cfg.prior_rotation_weight,
     )
     if mesh is None:
-        poses_ref, _, cost_trace = solve_ba(problem, **solve_kw)
+        # the window's obs list is slot-major by construction (K obs
+        # per slot) — selects the O(N*L) large-window accumulation
+        poses_ref, _, cost_trace = solve_ba(
+            problem, slot_major=state.valid3d.shape[1], **solve_kw)
     else:
         from online_3d_reconstruction_tpu.parallel.ba_sharded import solve_ba_sharded
         poses_ref, _, cost_trace = solve_ba_sharded(problem, mesh, **solve_kw)

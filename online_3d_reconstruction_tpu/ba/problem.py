@@ -43,13 +43,16 @@ class BAProblem(NamedTuple):
     # bounds the reference's. None disables the terms.
     priors: "jnp.ndarray | None" = None       # (W, 4, 4)
     prior_valid: "jnp.ndarray | None" = None  # (W,) bool
-    # optional per-observation per-component information weights (1/sigma^2),
-    # in the observation's own (camera) frame. Stereo-lifted points are
+    # optional per-observation information, in the observation's own (camera)
+    # frame: either (N, 3) per-component diagonal weights 1/sigma^2, or
+    # (N, 3, 3) full information matrices Sigma^-1. Stereo-lifted points are
     # strongly anisotropic — sigma_z ~ z^2 * sigma_d / (fx b) can be 25x the
-    # lateral sigma_xy ~ z * sigma_px / fx at survey altitude — so isotropic
-    # weighting throws away almost all of the (precise) lateral information.
-    # None = unit weights (the unweighted classical form).
-    obs_weight: "jnp.ndarray | None" = None   # (N, 3)
+    # lateral sigma_xy ~ z * sigma_px / fx at survey altitude — AND
+    # correlated: the z error leaks into camera-frame x,y along the ray
+    # direction (x = (u-cx) z / fx), which only the full 3x3 form captures
+    # (measured: x-lateral RMS 1.5x the y RMS at image edges purely from
+    # that coupling). None = unit weights (the unweighted classical form).
+    obs_weight: "jnp.ndarray | None" = None   # (N, 3) or (N, 3, 3)
 
 
 def prior_residuals(poses: jnp.ndarray, problem: BAProblem
@@ -61,7 +64,8 @@ def prior_residuals(poses: jnp.ndarray, problem: BAProblem
     t = poses[:, :3, 3]
     r_pos = t - problem.priors[:, :3, 3]
     rel = jnp.einsum("wij,wkj->wik", poses[:, :3, :3],
-                     problem.priors[:, :3, :3])  # R_k R_prior^T
+                     problem.priors[:, :3, :3],
+                     precision=jax.lax.Precision.HIGHEST)  # R_k R_prior^T
     r_rot = jax.vmap(se3.log_so3)(rel)
     ok = problem.prior_valid[:, None]
     return jnp.where(ok, r_pos, 0.0), jnp.where(ok, r_rot, 0.0)
@@ -134,31 +138,92 @@ def jacobians(poses: jnp.ndarray, landmarks: jnp.ndarray,
 
 
 def weighted_sqnorm(r: jnp.ndarray, problem: BAProblem) -> jnp.ndarray:
-    """(N,) squared residual norm in whitened units: sum_c w_c r_c^2.
+    """(N,) squared residual norm in whitened units: r^T W r.
 
-    With ``obs_weight`` set this is dimensionless (sigma units); without it
-    plain |r|^2 in metres^2 — the classical isotropic form.
+    With ``obs_weight`` set ((N, 3) diagonal or (N, 3, 3) full information)
+    this is dimensionless (sigma units); without it plain |r|^2 in metres^2 —
+    the classical isotropic form.
     """
-    if problem.obs_weight is not None:
-        return jnp.sum(problem.obs_weight * r * r, axis=-1)
-    return jnp.sum(r * r, axis=-1)
+    if problem.obs_weight is None:
+        return jnp.sum(r * r, axis=-1)
+    if problem.obs_weight.ndim == 3:
+        return jnp.einsum("ni,nij,nj->n", r, problem.obs_weight, r,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(problem.obs_weight * r * r, axis=-1)
 
 
 def stereo_obs_weights(points: jnp.ndarray, depth_coeff: float,
                        lateral_coeff: float, min_depth: float = 1.0
                        ) -> jnp.ndarray:
-    """(N, 3) information weights from the stereo triangulation noise model.
+    """(N, 3) DIAGONAL information weights from the stereo noise model.
 
     For a camera-frame point at depth z from a rectified pair with focal fx
     and baseline b:  sigma_z = z^2 * sigma_d / (fx b) (disparity noise
     sigma_d), sigma_x = sigma_y = z * sigma_px / fx (localization noise
     sigma_px). Callers pass depth_coeff = sigma_d / (fx b) and
     lateral_coeff = sigma_px / fx; weights are 1/sigma^2 per component.
+    Legacy diagonal model — it ignores the ray-direction x/y<->z coupling;
+    prefer ``stereo_obs_information``.
     """
     z = jnp.maximum(jnp.abs(points[..., 2]), min_depth)
     w_lat = 1.0 / (lateral_coeff * z) ** 2
     w_z = 1.0 / (depth_coeff * z * z) ** 2
     return jnp.stack([w_lat, w_lat, w_z], axis=-1)
+
+
+class StereoNoiseModel(NamedTuple):
+    """Static (hashable) stereo measurement-noise description.
+
+    The pipeline builds one from the rig + BAConfig sigmas; it rides through
+    the jitted keyframe step as a static argument.
+    """
+
+    fx: float
+    fy: float
+    baseline: float
+    sigma_px: float         # 1-sigma keypoint localization noise (pixels)
+    sigma_disparity: float  # 1-sigma disparity noise (pixels)
+
+
+def stereo_obs_information(points: jnp.ndarray, model: StereoNoiseModel,
+                           min_depth: float = 1.0) -> jnp.ndarray:
+    """(N, 3, 3) FULL information matrices Sigma^-1 per observation.
+
+    The stereo lift p = ((u-cx) z / fx, (v-cy) z / fy, z) with z = fx b / d
+    maps independent pixel-space noise (sigma_u, sigma_v, sigma_d) through
+    the Jacobian J = d p / d (u, v, d); Sigma = J diag(sigma^2) J^T. Its
+    inverse is closed-form because J is triangular:
+
+        J^-1 = [[fx/z, 0, -fx x / z^2],
+                [0, fy/z, -fy y / z^2],
+                [0, 0,    -fx b / z^2]]
+
+    so with M = diag(1/sigma) J^-1, the information is W = M^T M. Unlike the
+    diagonal model (``stereo_obs_weights``) this captures the x/y<->z
+    coupling along the ray: at the image edge (|u-cx| ~ 0.6 fx) the z error
+    contributes ~0.6 sigma_z to camera-frame x, which measurably dominates
+    the lateral residual there.
+    """
+    x = points[..., 0]
+    y = points[..., 1]
+    z = jnp.maximum(jnp.abs(points[..., 2]), min_depth)
+    inv_z = 1.0 / z
+    inv_z2 = inv_z * inv_z
+    r1 = jnp.stack([model.fx * inv_z / model.sigma_px,
+                    jnp.zeros_like(z),
+                    -model.fx * x * inv_z2 / model.sigma_px], axis=-1)
+    r2 = jnp.stack([jnp.zeros_like(z),
+                    model.fy * inv_z / model.sigma_px,
+                    -model.fy * y * inv_z2 / model.sigma_px], axis=-1)
+    r3 = jnp.stack([jnp.zeros_like(z),
+                    jnp.zeros_like(z),
+                    -model.fx * model.baseline * inv_z2
+                    / model.sigma_disparity], axis=-1)
+    m = jnp.stack([r1, r2, r3], axis=-2)          # (N, 3, 3)
+    # HIGHEST: TPU's default bf16 einsum would quantize the information
+    # weights (values ~1e2-1e3) enough to corrupt the GN cost comparison
+    return jnp.einsum("nki,nkj->nij", m, m,
+                      precision=jax.lax.Precision.HIGHEST)  # M^T M
 
 
 def total_cost(poses: jnp.ndarray, landmarks: jnp.ndarray,

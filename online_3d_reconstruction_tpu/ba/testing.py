@@ -16,8 +16,16 @@ from online_3d_reconstruction_tpu.geometry import se3
 
 
 def make_synthetic_bundle(rng, w=4, l=32, pose_noise=0.05, lm_noise=0.05,
-                          obs_noise=0.0, n_cap=None):
-    """Returns (BAProblem, gt_poses (w,4,4), gt_landmarks (l,3))."""
+                          obs_noise=0.0, n_cap=None, obs_per_kf=None):
+    """Returns (BAProblem, gt_poses (w,4,4), gt_landmarks (l,3)).
+
+    Observations are slot-major (all of keyframe 0, then keyframe 1, ...).
+    ``obs_per_kf`` limits each keyframe to a random landmark subset — with
+    ``n_cap = w * obs_per_kf`` the problem satisfies the
+    ``slot_major=obs_per_kf`` layout contract of ba/schur (the realistic
+    large-window shape: K keypoint observations per frame over L >> K
+    landmarks).
+    """
     gt_poses = []
     for k in range(w):
         pose = np.eye(4)
@@ -33,12 +41,16 @@ def make_synthetic_bundle(rng, w=4, l=32, pose_noise=0.05, lm_noise=0.05,
     obs_kf, obs_lm, obs_pt = [], [], []
     for k in range(w):
         inv = np.linalg.inv(gt_poses[k])
-        for j in range(l):
+        if obs_per_kf is not None and obs_per_kf < l:
+            lm_ids = np.sort(rng.choice(l, obs_per_kf, replace=False))
+        else:
+            lm_ids = np.arange(l)
+        for j in lm_ids:
             p = inv[:3, :3] @ gt_lms[j] + inv[:3, 3]
             if obs_noise > 0:
                 p = p + rng.normal(0, obs_noise, 3)
             obs_kf.append(k)
-            obs_lm.append(j)
+            obs_lm.append(int(j))
             obs_pt.append(p)
     n = len(obs_kf)
     cap = n_cap or n

@@ -42,8 +42,8 @@ class WindowBA:
     def __init__(self, config: BAConfig, solver=None, noise_model=None):
         self.cfg = config
         self.solver = solver or solve_ba
-        # (depth_coeff, lateral_coeff) for the anisotropic stereo observation
-        # weights (ba.problem.stereo_obs_weights); None = unit weights
+        # ba.problem.StereoNoiseModel for the full 3x3 observation
+        # information (ba.problem.stereo_obs_information); None = unit weights
         self.noise_model = noise_model
         self.keyframes: List[_KfRecord] = []
         self._next_lm = 0
@@ -163,10 +163,10 @@ class WindowBA:
 
         obs_weight = None
         if self.noise_model is not None:
-            from online_3d_reconstruction_tpu.ba.problem import stereo_obs_weights
+            from online_3d_reconstruction_tpu.ba.problem import stereo_obs_information
 
-            obs_weight = stereo_obs_weights(
-                jnp.asarray(obs_pt_a), *self.noise_model
+            obs_weight = stereo_obs_information(
+                jnp.asarray(obs_pt_a), self.noise_model
             )
 
         problem = BAProblem(

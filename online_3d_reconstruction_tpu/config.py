@@ -63,6 +63,14 @@ class FeatureConfig:
     border: int = 20                 # keypoint exclusion border (sampling safety)
     grid_tiles: Tuple[int, int] = (4, 4)  # spatial top-k tiles for even coverage
     seed: int = 7                    # BRIEF sampling-pattern RNG seed
+    # Subpixel corner localization: per-axis parabola fit on the detector's
+    # own (ungated) FAST excess-score surface (features/fast.
+    # refine_subpixel_score). Integer detections carry a frame-correlated
+    # +-0.5 px quantization that was the measured dominant BA observation
+    # error; the score-surface fit removes it translation-equivariantly
+    # (a gradient-centroid cornerSubPix solve measurably does NOT on dense
+    # natural texture — see refine_subpixel_score's docstring).
+    subpixel: bool = True
 
 
 @dataclass(frozen=True)
@@ -84,6 +92,15 @@ class OdometryConfig:
     min_matches: int = 12            # matches required to attempt correction
     max_point_depth: float = 80.0    # Z cull for lifted feature points (metres)
     depth_edge_threshold: float = 1.5  # reject keypoints on disparity edges (px)
+    # Link-fit regularization (odometry/rigid.refine_rigid_gn): the
+    # flight-log relative-attitude prior constrains the tilt modes a
+    # near-planar nadir scene cannot (tilt ~ lateral shift * altitude — the
+    # measured ~0.1 m/link VO error source); weight = 1/sigma^2 for the
+    # relative attitude noise (sqrt(2) * 0.01 rad per-pose -> ~5000).
+    rot_prior_weight: float = 5000.0
+    # relative information of the z residual component in the link fit
+    # (stereo z noise is ~3x lateral and correlated; 0 < w <= 1)
+    depth_rel_weight: float = 0.2
     seed: int = 0
 
 

@@ -132,6 +132,10 @@ def describe_keypoints(image: jnp.ndarray, xy: jnp.ndarray, score: jnp.ndarray,
     """Compute orientations + steered BRIEF descriptors for detected corners.
 
     Single-level: xy are coordinates in ``image``; octave is set to 0.
+    Fractional xy (subpixel-refined detections) are honored exactly: patches
+    are extracted on the integer grid and the fractional residual shifts the
+    pattern-sampling coordinates, so every descriptor bit compares
+    intensities at the keypoint's true subpixel position.
 
     All sampling is MXU matmuls — patch extraction is a row gather + one-hot
     column matmul, and the continuous-angle steered pattern comparison is
@@ -145,15 +149,22 @@ def describe_keypoints(image: jnp.ndarray, xy: jnp.ndarray, score: jnp.ndarray,
     angle = _orientation(patches)
 
     half = config.patch_size // 2
+    # the same clip+round _extract_patches used: residual = true - patch center
+    h_img, w_img = image.shape
+    pcx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), half, w_img - 1 - half)
+    pcy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), half, h_img - 1 - half)
+    res_x = (xy[:, 0] - pcx.astype(jnp.float32))[:, None]
+    res_y = (xy[:, 1] - pcy.astype(jnp.float32))[:, None]
     cos_t = jnp.cos(angle)[:, None]
     sin_t = jnp.sin(angle)[:, None]
     y1, x1, y2, x2 = pattern[:, 0], pattern[:, 1], pattern[:, 2], pattern[:, 3]
 
     def rotate(y, x):
-        # steer the sampling pattern by the keypoint orientation
+        # steer the sampling pattern by the keypoint orientation, centered on
+        # the keypoint's subpixel position within the integer patch
         ry = x[None, :] * sin_t + y[None, :] * cos_t
         rx = x[None, :] * cos_t - y[None, :] * sin_t
-        return ry + half, rx + half
+        return ry + half + res_y, rx + half + res_x
 
     ry1, rx1 = rotate(y1, x1)
     ry2, rx2 = rotate(y2, x2)
@@ -218,6 +229,9 @@ def detect_and_describe(image: jnp.ndarray, config: FeatureConfig) -> Keypoints:
             nms_radius=config.nms_radius,
             border=config.border,
             grid_tiles=config.grid_tiles,
+            # kills the +-0.5 px detection quantization — the measured
+            # dominant (frame-correlated) BA observation-error term
+            subpixel=config.subpixel,
         )
         kp = describe_keypoints(img_l, xy, score, valid, config)
         scale = float(2 ** level)

@@ -136,7 +136,8 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     skew_sq = _mm(skew, skew)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), rot.shape)
     v_mat = eye + b[..., None, None] * skew + c[..., None, None] * skew_sq
-    trans = jnp.einsum("...ij,...j->...i", v_mat, rho)
+    trans = jnp.einsum("...ij,...j->...i", v_mat, rho,
+                       precision=jax.lax.Precision.HIGHEST)
     out = jnp.zeros(xi.shape[:-1] + (4, 4), dtype=xi.dtype)
     out = out.at[..., :3, :3].set(rot)
     out = out.at[..., :3, 3].set(trans)

@@ -50,6 +50,10 @@ class SyntheticSequence:
     prior_rotation_sigma: float = 0.01
     prior_seed: int = 1
     fps: float = 10.0
+    # optional raw-camera mode: render distorted views through this
+    # StereoCalibration (the pipeline then rectifies with rig's maps);
+    # None renders already-rectified views (identity-map rigs)
+    calib: object = None
 
     def __post_init__(self):
         self._priors = perturb_poses(
@@ -67,7 +71,8 @@ class SyntheticSequence:
             yield self[i]
 
     def __getitem__(self, i: int) -> FrameData:
-        frame = self.scene.render_stereo(self.poses[i], self.rig)
+        frame = self.scene.render_stereo(self.poses[i], self.rig,
+                                         calib=self.calib)
         return FrameData(
             left=frame.left,
             right=frame.right,

@@ -92,6 +92,13 @@ class SyntheticScene:
     speckle_amplitude: float = 0.3
     speckle_frequency: float = 10.0  # cells/metre
     plateaus: List[Plateau] = field(default_factory=list)
+    # Pixel-footprint anti-aliasing: average an s x s subpixel ray grid per
+    # pixel. A real sensor integrates irradiance over the pixel footprint
+    # (box PSF at minimum); point sampling (supersample=1) makes the subpixel
+    # phase of any texture edge sharper than one pixel physically
+    # unobservable, so subpixel feature localization cannot be exercised by
+    # the oracle without this. GT depth/disparity stay center-ray exact.
+    supersample: int = 1
 
     def texture(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Multi-octave grayscale albedo in [0, 1] at world (x, y)."""
@@ -141,37 +148,121 @@ class SyntheticScene:
 
     def render_view(self, pose: np.ndarray, fx: float, fy: float, cx: float,
                     cy: float, width: int, height: int):
-        """Render one pinhole view. Returns (gray, rgb, depth)."""
+        """Render one pinhole view. Returns (gray, rgb, depth).
+
+        With ``supersample`` s > 1 the gray/rgb channels average an s x s
+        subpixel ray grid (box pixel footprint); depth stays the center ray
+        so GT disparity remains analytically exact per pixel.
+        """
         rot = pose[:3, :3]
         center = pose[:3, 3]
         u, v = np.meshgrid(np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64))
-        dirs_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
-        dirs_world = dirs_cam @ rot.T
-        depth = self._surface_hit(center, dirs_world)
-        hit_x = center[0] + depth * dirs_world[..., 0]
-        hit_y = center[1] + depth * dirs_world[..., 1]
-        gray = self.texture(hit_x, hit_y)
-        rgb = self.texture_rgb(hit_x, hit_y)
-        depth = depth.astype(np.float32)
-        return gray, rgb, depth
 
-    def render_stereo(self, pose: np.ndarray, rig) -> StereoFrame:
-        """Render a rectified stereo pair at ``pose`` (left camera pose).
+        def shade(du: float, dv: float):
+            dirs_cam = np.stack([(u + du - cx) / fx, (v + dv - cy) / fy,
+                                 np.ones_like(u)], axis=-1)
+            dirs_world = dirs_cam @ rot.T
+            depth = self._surface_hit(center, dirs_world)
+            hit_x = center[0] + depth * dirs_world[..., 0]
+            hit_y = center[1] + depth * dirs_world[..., 1]
+            return self.texture(hit_x, hit_y), self.texture_rgb(hit_x, hit_y), depth
 
-        ``rig`` is a RectifiedRig (fx/fy/cx/cy/baseline/width/height); the
-        right camera is offset by +baseline along the left camera's +X axis.
+        ss = max(int(self.supersample), 1)
+        if ss == 1:
+            gray, rgb, depth = shade(0.0, 0.0)
+            return gray, rgb, depth.astype(np.float32)
+        gray = None
+        rgb = None
+        for i in range(ss):
+            for j in range(ss):
+                g, c, _ = shade((i + 0.5) / ss - 0.5, (j + 0.5) / ss - 0.5)
+                gray = g if gray is None else gray + g
+                rgb = c if rgb is None else rgb + c
+        # depth/disparity GT from the exact center ray, not the AA average
+        _, _, depth = shade(0.0, 0.0)
+        inv = np.float32(1.0 / (ss * ss))
+        return (gray * inv).astype(np.float32), (rgb * inv).astype(np.float32), depth.astype(np.float32)
+
+    def _render_view_distorted(self, pose: np.ndarray, intr) -> tuple:
+        """Render through a distorted camera (CameraIntrinsics).
+
+        Physical model: pixel (u, v) observes along the ray whose normalized
+        pinhole coords (x, y) DISTORT to the pixel's normalized position —
+        inverted by fixed-point iteration (the standard undistort loop),
+        vectorized over the whole grid on the host.
+        """
+        from online_3d_reconstruction_tpu.io.calibration import _distort
+
+        u, v = np.meshgrid(np.arange(intr.width, dtype=np.float64),
+                           np.arange(intr.height, dtype=np.float64))
+        xd = (u - intr.cx) / intr.fx
+        yd = (v - intr.cy) / intr.fy
+        x, y = xd.copy(), yd.copy()
+        for _ in range(8):
+            x_hat, y_hat = _distort(x, y, intr.dist)
+            x += xd - x_hat
+            y += yd - y_hat
+
+        rot = pose[:3, :3]
+        center = pose[:3, 3]
+
+        def shade(du, dv):
+            dirs_cam = np.stack([x + du / intr.fx, y + dv / intr.fy,
+                                 np.ones_like(x)], axis=-1)
+            dirs_world = dirs_cam @ rot.T
+            depth = self._surface_hit(center, dirs_world)
+            hx = center[0] + depth * dirs_world[..., 0]
+            hy = center[1] + depth * dirs_world[..., 1]
+            return self.texture(hx, hy), self.texture_rgb(hx, hy)
+
+        ss = max(int(self.supersample), 1)
+        gray = None
+        rgb = None
+        for i in range(ss):
+            for j in range(ss):
+                g, c = shade((i + 0.5) / ss - 0.5, (j + 0.5) / ss - 0.5)
+                gray = g if gray is None else gray + g
+                rgb = c if rgb is None else rgb + c
+        inv = np.float32(1.0 / (ss * ss))
+        return (gray * inv).astype(np.float32), (rgb * inv).astype(np.float32)
+
+    def render_stereo(self, pose: np.ndarray, rig, calib=None) -> StereoFrame:
+        """Render a stereo pair at ``pose`` (left camera pose).
+
+        ``rig`` is a RectifiedRig (fx/fy/cx/cy/baseline/width/height). With
+        ``calib`` None the views are rendered already-rectified (identity-map
+        rigs, the pipeline skips remap). Passing a StereoCalibration renders
+        RAW views through each camera's K + distortion instead — the
+        reference's actual input (SURVEY.md C4: rectification is in the
+        per-frame loop). ``pose`` is always the RECTIFIED-left-camera pose
+        (the frame the pipeline estimates); the physical camera pose is
+        derived through the rig's rectifying rotation, so depth/gt_disparity/
+        gt pose all describe the rectified left view in both modes.
         """
         left, left_rgb, depth = self.render_view(
             pose, rig.fx, rig.fy, rig.cx, rig.cy, rig.width, rig.height
         )
-        pose_right = pose.copy()
-        pose_right = pose_right @ np.array(
-            [[1, 0, 0, rig.baseline], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
-            dtype=np.float64,
-        )
-        right, _, _ = self.render_view(
-            pose_right, rig.fx, rig.fy, rig.cx, rig.cy, rig.width, rig.height
-        )
+        if calib is None:
+            pose_right = pose @ np.array(
+                [[1, 0, 0, rig.baseline], [0, 1, 0, 0], [0, 0, 1, 0],
+                 [0, 0, 0, 1]], dtype=np.float64,
+            )
+            right, _, _ = self.render_view(
+                pose_right, rig.fx, rig.fy, rig.cx, rig.cy, rig.width, rig.height
+            )
+        else:
+            # physical-left = rectified-left rotated by R1 (x_rect = R1 x_phys
+            # => world-from-phys = world-from-rect @ R1)
+            r1 = np.eye(4)
+            r1[:3, :3] = np.asarray(rig.r1, dtype=np.float64)
+            pose_left = pose @ r1
+            # world-from-right = world-from-left @ inv(right-from-left)
+            t_rl = np.eye(4)
+            t_rl[:3, :3] = np.asarray(calib.rotation, dtype=np.float64)
+            t_rl[:3, 3] = np.asarray(calib.translation, dtype=np.float64)
+            pose_right = pose_left @ np.linalg.inv(t_rl)
+            left, left_rgb = self._render_view_distorted(pose_left, calib.left)
+            right, _ = self._render_view_distorted(pose_right, calib.right)
         gt_disp = (rig.fx * rig.baseline / np.maximum(depth, 1e-6)).astype(np.float32)
         gt_disp = np.where(np.isfinite(depth), gt_disp, -1.0).astype(np.float32)
         return StereoFrame(

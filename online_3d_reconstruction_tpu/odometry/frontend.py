@@ -41,8 +41,11 @@ def lift_keypoints_to_3d(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lift (K, 2) pixel coords to camera-frame 3D via the disparity map.
 
-    Gathers each keypoint's disparity (nearest pixel) and applies Q, the same
-    per-point math as the dense backprojection (geometry/backproject.py).
+    Samples each keypoint's disparity bilinearly (subpixel keypoints deserve
+    subpixel disparity) and applies Q, the same per-point math as the dense
+    backprojection (geometry/backproject.py). Falls back to the nearest pixel
+    when any bilinear corner is invalid — averaging across a validity
+    boundary would mix surfaces.
 
     Corners cluster on object boundaries, where SGM disparity mixes the two
     surfaces and systematically biases the 3D-3D fit; keypoints whose 4
@@ -52,7 +55,22 @@ def lift_keypoints_to_3d(
     h, w = disparity.shape
     u = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     v = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    d = disparity[v, u]
+    d_nearest = disparity[v, u]
+
+    xf = jnp.clip(xy[:, 0], 0.0, w - 1.0)
+    yf = jnp.clip(xy[:, 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
+    tx = xf - x0.astype(jnp.float32)
+    ty = yf - y0.astype(jnp.float32)
+    d00 = disparity[y0, x0]
+    d10 = disparity[y0, x0 + 1]
+    d01 = disparity[y0 + 1, x0]
+    d11 = disparity[y0 + 1, x0 + 1]
+    corners_ok = (d00 > 0) & (d10 > 0) & (d01 > 0) & (d11 > 0)
+    d_bilin = ((1 - ty) * ((1 - tx) * d00 + tx * d10)
+               + ty * ((1 - tx) * d01 + tx * d11))
+    d = jnp.where(corners_ok, d_bilin, d_nearest)
 
     on_edge = jnp.zeros(d.shape, dtype=bool)
     if edge_threshold > 0:
@@ -136,6 +154,12 @@ def _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg):
         threshold=odo_cfg.ransac_threshold,
         min_inliers=odo_cfg.min_inliers,
         weights=pair_weight,
+        # flight-log relative attitude regularizes the planar-scene tilt
+        # modes (refine_rigid_gn); the reference likewise composes its
+        # visual correction with the flight-log prior (SURVEY.md §3.3)
+        rot_prior=prior_rel[:3, :3],
+        rot_prior_weight=odo_cfg.rot_prior_weight,
+        depth_rel_weight=odo_cfg.depth_rel_weight,
     )
     used_vo = fit_ok & enough
     rel = jnp.where(used_vo, t_vo, prior_rel)

@@ -46,7 +46,64 @@ def rigid_transform(src: jnp.ndarray, dst: jnp.ndarray,
     return se3.from_rt(rot.astype(jnp.float32), t.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("iters", "threshold", "min_inliers"))
+def refine_rigid_gn(
+    t_init: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: jnp.ndarray,
+    comp_weight: jnp.ndarray,
+    rot_prior: "jnp.ndarray | None" = None,
+    rot_prior_weight: float = 0.0,
+    iters: int = 3,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """Gauss-Newton polish of a rigid link fit with a rotation prior.
+
+    Minimizes  sum_i w_i |C^(1/2) (T(s_i) - d_i)|^2
+             + rot_prior_weight * |Log(R R_prior^T)|^2
+    over the se3 tangent (left-multiplicative update). Two failure modes of
+    the plain Umeyama/IRLS link fit this addresses (measured on the bench
+    scene, tools/vo_link_err + per-link TPU diagnosis):
+
+    - TILT-TRANSLATION DEGENERACY: over a near-planar nadir scene a tilt
+      error delta_phi is almost indistinguishable from a lateral shift
+      z * delta_phi (~0.1 m/link at 30 m altitude); the flight-log attitude
+      prior (the reference composes it the same way, SURVEY.md §3.3) is
+      exactly the missing tilt information.
+    - ANISOTROPIC NOISE: stereo z errors are ~3x the lateral ones and
+      correlated; ``comp_weight`` (camera-frame per-component information,
+      e.g. (1, 1, 0.1)) stops them from steering the lateral/tilt estimate.
+    """
+    comp = comp_weight.astype(jnp.float32)
+
+    def step(t_cur, _):
+        p = se3.transform_points(t_cur, src)             # (N, 3)
+        r = p - dst
+        w = weights.astype(jnp.float32)
+        # J_i = [I | -hat(p_i)] for r_i = exp(xi) T s_i - d_i
+        hi = jax.lax.Precision.HIGHEST
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                               (src.shape[0], 3, 3))
+        j = jnp.concatenate([eye, -se3.hat(p)], axis=-1)  # (N, 3, 6)
+        jw = j * (w[:, None, None] * comp[None, :, None])
+        h = jnp.einsum("nij,nik->jk", jw, j, precision=hi)
+        g = jnp.einsum("nij,ni->j", jw, r, precision=hi)
+        if rot_prior is not None and rot_prior_weight > 0:
+            r_rot = se3.log_so3(
+                jnp.matmul(t_cur[:3, :3], rot_prior.T,
+                           precision=hi))
+            h = h.at[3:, 3:].add(rot_prior_weight * jnp.eye(3))
+            g = g.at[3:].add(rot_prior_weight * r_rot)
+        h = h + damping * jnp.eye(6, dtype=jnp.float32)
+        delta = -jnp.linalg.solve(h, g)
+        return se3.retract(t_cur, delta), None
+
+    t_out, _ = jax.lax.scan(step, t_init, None, length=iters)
+    return t_out
+
+
+@partial(jax.jit, static_argnames=("iters", "threshold", "min_inliers",
+                                   "rot_prior_weight", "depth_rel_weight"))
 def ransac_rigid(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -56,6 +113,9 @@ def ransac_rigid(
     threshold: float = 0.25,
     min_inliers: int = 12,
     weights: jnp.ndarray = None,
+    rot_prior: "jnp.ndarray | None" = None,
+    rot_prior_weight: float = 0.0,
+    depth_rel_weight: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Robust rigid fit of dst ~= T(src) over masked correspondences.
 
@@ -63,6 +123,11 @@ def ransac_rigid(
     1/4^octave for pyramid keypoints, whose localization variance grows with
     the level. Weights scale the least-squares fits; inlier *counting* stays
     unweighted so the fitness gate keeps its meaning.
+
+    ``rot_prior`` (3, 3) + ``rot_prior_weight`` and ``depth_rel_weight``
+    feed the final GN polish (``refine_rigid_gn``): the flight-log relative
+    attitude regularizes the tilt modes a planar scene cannot constrain, and
+    the z residual component is down-weighted to its stereo information.
 
     Returns (T (4,4), inlier_mask (N,), inlier_count (), ok ()).
     ``ok`` is False when the best hypothesis has < min_inliers — the caller
@@ -111,6 +176,17 @@ def ransac_rigid(
         return rigid_transform(src, dst, w), None
 
     t_fit, _ = jax.lax.scan(irls_step, t_fit, None, length=3)
+
+    # final polish: anisotropic component weights + rotation prior (the
+    # tilt-degeneracy fix; see refine_rigid_gn) on the Huber-weighted set
+    r_fin = jnp.linalg.norm(se3.transform_points(t_fit, src) - dst, axis=-1)
+    w_fin = jnp.where(r_fin <= huber, 1.0, huber / jnp.maximum(r_fin, 1e-9))
+    w_fin = w_fin * valid.astype(jnp.float32) * weights
+    comp = jnp.array([1.0, 1.0, depth_rel_weight], jnp.float32)
+    t_fit = refine_rigid_gn(t_fit, src, dst, w_fin, comp,
+                            rot_prior=rot_prior,
+                            rot_prior_weight=rot_prior_weight)
+
     proj = se3.transform_points(t_fit, src)
     refined_mask = (jnp.linalg.norm(proj - dst, axis=-1) < threshold) & valid
     count = jnp.sum(refined_mask)

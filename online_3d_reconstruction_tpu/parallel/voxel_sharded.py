@@ -57,6 +57,25 @@ def _local_reduce(points, colors, valid, voxel_size, bounds, per_axis):
     return sum_pts, sum_col, counts, rep_hi, rep_lo
 
 
+def _merge_records(rec: jnp.ndarray, hi: jnp.ndarray, lo: jnp.ndarray):
+    """Sum (M, C) records sharing a (hi, lo) voxel key. Returns
+    (tot (M, C), rep_hi (M,), rep_lo (M,)) with segment results compacted at
+    the front (segment ids are a prefix)."""
+    m = rec.shape[0]
+    order = jnp.argsort(lo, stable=True)
+    order = order[jnp.argsort(hi[order], stable=True)]
+    hi_s, lo_s, rec_s = hi[order], lo[order], rec[order]
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         ((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])).astype(jnp.int32)]
+    )
+    seg_id = jnp.cumsum(new_seg) - 1
+    tot = jax.ops.segment_sum(rec_s, seg_id, num_segments=m)
+    rep_hi = jax.ops.segment_min(hi_s, seg_id, num_segments=m)
+    rep_lo = jax.ops.segment_min(lo_s, seg_id, num_segments=m)
+    return tot, rep_hi, rep_lo
+
+
 @partial(jax.jit, static_argnames=("voxel_size", "bounds", "mesh", "bucket_capacity"))
 def voxel_route_merge(points: jnp.ndarray, colors: jnp.ndarray,
                       valid: jnp.ndarray, mesh: Mesh, voxel_size: float,
@@ -64,18 +83,30 @@ def voxel_route_merge(points: jnp.ndarray, colors: jnp.ndarray,
                       bucket_capacity: int = 0):
     """Owner-routed voxel merge: the "streaming voxel-merge over ICI" (P3).
 
-    Each voxel key hashes to one owner device; every device packs its points
-    into fixed-capacity per-destination buckets, one ``all_to_all`` ships
-    them over ICI, and the owner segment-reduces — each voxel is reduced on
-    exactly one device, so centroids are exact (no centroid-of-centroids)
-    and traffic is 1/n of an all-gather.
+    Three stages per device:
+
+    1. LOCAL pre-reduction: sort+segment-reduce the own shard once,
+       producing at most one (sum, count, key) record per locally-occupied
+       voxel — the only O(N/n log N/n) sort over raw points.
+    2. Route: each record's voxel key hashes to one owner device; records
+       pack into fixed-capacity per-destination buckets and one
+       ``all_to_all`` ships them over ICI. Shipping pre-reduced records
+       instead of raw points cuts both wire bytes and the owner's work by
+       the local duplication factor (large for a fused map pool).
+    3. Owner merge: sum the received records BY KEY (sum-of-sums — exact,
+       no centroid-of-centroids) and divide.
+
+    With an explicit ``bucket_capacity`` c the per-shard post-route work is
+    O(n_dev * c) — set c ~ 2N/n^2 for balanced hashes and the total
+    per-device cost is O(N/n), the scaling the P3 design owes (overflow is
+    *counted*, never silent). The default c = N/n is lossless even if every
+    local voxel is unique and hashes to ONE owner, at the price of
+    owner-side sorts over N/n-capacity buffers.
 
     points: (N, 3) sharded over the mesh axis (N divisible by device count).
-    bucket_capacity: per-destination slot count (default: local shard size —
-    lossless; smaller trades memory/traffic for counted overflow).
 
     Returns (PointCloud sharded over the axis with per-device capacity
-    n_dev * bucket_capacity, dropped_count () replicated).
+    n_dev * bucket_capacity, dropped_points () replicated).
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -86,17 +117,17 @@ def voxel_route_merge(points: jnp.ndarray, colors: jnp.ndarray,
     cap = bucket_capacity or n_local
 
     def stage(pts, cols, val):
-        pts, cols, val = pts, cols, val
-        m = pts.shape[0]
-        idx = voxel_coords(pts, voxel_size, bounds)
-        ok = jnp.all((idx >= 0) & (idx < per_axis), axis=1) & val
-        key_hi = idx[:, 0]
-        key_lo = idx[:, 1] * per_axis + idx[:, 2]
-        # owner = hash of the voxel key -> device id
-        mix = (key_hi.astype(jnp.uint32) * jnp.uint32(2654435761)
-               ^ key_lo.astype(jnp.uint32) * jnp.uint32(40503))
+        # 1. local exact pre-reduction of the own shard
+        sum_pts, sum_col, counts, rep_hi, rep_lo = _local_reduce(
+            pts, cols, val, voxel_size, bounds, per_axis)
+        occ = (counts > 0) & (rep_hi != _SENTINEL)
+        m = counts.shape[0]
+
+        # 2. owner = hash of the voxel key -> device id
+        mix = (rep_hi.astype(jnp.uint32) * jnp.uint32(2654435761)
+               ^ rep_lo.astype(jnp.uint32) * jnp.uint32(40503))
         owner = (mix % jnp.uint32(n_dev)).astype(jnp.int32)
-        owner = jnp.where(ok, owner, n_dev)  # invalid -> overflow bin
+        owner = jnp.where(occ, owner, n_dev)  # empty record -> overflow bin
 
         # pack into (n_dev, cap) buckets: position within destination via
         # stable sort by owner + per-segment rank
@@ -111,35 +142,40 @@ def voxel_route_merge(points: jnp.ndarray, colors: jnp.ndarray,
         )
         slot = owner_s * cap + pos_in_seg
         keep = (owner_s < n_dev) & (pos_in_seg < cap)
-        dropped = jnp.sum((owner_s < n_dev) & (pos_in_seg >= cap))
+        # overflow accounting in POINTS (each record carries `count` points)
+        counts_s = counts[order]
+        dropped = jnp.sum(jnp.where(
+            (owner_s < n_dev) & (pos_in_seg >= cap), counts_s, 0.0
+        )).astype(jnp.int32)
 
-        buf_pts = jnp.zeros((n_dev * cap, 3), jnp.float32)
-        buf_cols = jnp.zeros((n_dev * cap, 3), jnp.float32)
-        buf_ok = jnp.zeros((n_dev * cap,), bool)
+        rec = jnp.concatenate([sum_pts, sum_col, counts[:, None]], axis=1)
+        buf_rec = jnp.zeros((n_dev * cap, 7), jnp.float32)
+        buf_hi = jnp.full((n_dev * cap,), _SENTINEL, jnp.int32)
+        buf_lo = jnp.full((n_dev * cap,), _SENTINEL, jnp.int32)
         # rejected entries target index n_dev*cap == out of range -> dropped
         # by the scatter, so they can never clobber a kept slot
         tgt = jnp.where(keep, slot, n_dev * cap)
-        buf_pts = buf_pts.at[tgt].set(pts[order], mode="drop")
-        buf_cols = buf_cols.at[tgt].set(cols[order], mode="drop")
-        buf_ok = buf_ok.at[tgt].set(keep, mode="drop")
+        buf_rec = buf_rec.at[tgt].set(rec[order], mode="drop")
+        buf_hi = buf_hi.at[tgt].set(jnp.where(keep, rep_hi[order], _SENTINEL),
+                                    mode="drop")
+        buf_lo = buf_lo.at[tgt].set(jnp.where(keep, rep_lo[order], _SENTINEL),
+                                    mode="drop")
 
         # ship bucket d to device d
-        buf_pts = buf_pts.reshape(n_dev, cap, 3)
-        buf_cols = buf_cols.reshape(n_dev, cap, 3)
-        buf_ok = buf_ok.reshape(n_dev, cap)
-        rx_pts = jax.lax.all_to_all(buf_pts, axis, 0, 0, tiled=True)
-        rx_cols = jax.lax.all_to_all(buf_cols, axis, 0, 0, tiled=True)
-        rx_ok = jax.lax.all_to_all(buf_ok, axis, 0, 0, tiled=True)
+        rx_rec = jax.lax.all_to_all(buf_rec.reshape(n_dev, cap, 7), axis,
+                                    0, 0, tiled=True).reshape(-1, 7)
+        rx_hi = jax.lax.all_to_all(buf_hi.reshape(n_dev, cap), axis,
+                                   0, 0, tiled=True).reshape(-1)
+        rx_lo = jax.lax.all_to_all(buf_lo.reshape(n_dev, cap), axis,
+                                   0, 0, tiled=True).reshape(-1)
 
-        # owner-side exact reduction over its n_dev*cap candidates
-        sum_pts, sum_col, counts, rep_hi, rep_lo = _local_reduce(
-            rx_pts.reshape(-1, 3), rx_cols.reshape(-1, 3), rx_ok.reshape(-1),
-            voxel_size, bounds, per_axis,
-        )
-        occupied = (counts > 0) & (rep_hi != _SENTINEL)
-        denom = jnp.maximum(counts, 1.0)[:, None]
-        out_pts = jnp.where(occupied[:, None], sum_pts / denom, 0.0)
-        out_col = jnp.where(occupied[:, None], sum_col / denom, 0.0)
+        # 3. owner-side exact merge by key over its n_dev*cap records
+        tot, out_hi, _ = _merge_records(rx_rec, rx_hi, rx_lo)
+        tot_cnt = tot[:, 6]
+        occupied = (tot_cnt > 0) & (out_hi != _SENTINEL)
+        denom = jnp.maximum(tot_cnt, 1.0)[:, None]
+        out_pts = jnp.where(occupied[:, None], tot[:, 0:3] / denom, 0.0)
+        out_col = jnp.where(occupied[:, None], tot[:, 3:6] / denom, 0.0)
         return out_pts, out_col, occupied, jax.lax.psum(dropped, axis)
 
     spec = P(axis)

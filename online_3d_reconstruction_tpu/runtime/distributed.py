@@ -35,7 +35,11 @@ from online_3d_reconstruction_tpu.runtime.pipeline import (
     OnlineReconstructor,
     ReconstructionResult,
 )
-from online_3d_reconstruction_tpu.stereo.rectify import rectify_pair, remap_bilinear
+from online_3d_reconstruction_tpu.stereo.rectify import (
+    rectify_pair,
+    remap_bilinear,
+    remap_bilinear_banded,
+)
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -141,14 +145,21 @@ class DistributedReconstructor(OnlineReconstructor):
             left_r, right_r, color_r = left, right, color
         else:
             left_r, right_r = rectify_pair(left, right, self.map_left,
-                                           self.map_right)
+                                           self.map_right,
+                                           band_left=self._bands[0],
+                                           band_right=self._bands[1])
             if cs > 1:
                 # color arrives pre-strided: remap on the strided grid with
                 # source coords scaled into the subsampled plane
-                color_r = remap_bilinear(
-                    color, self.map_left[::cs, ::cs] / float(cs))
+                color_map = self.map_left[::cs, ::cs] / float(cs)
+                band_c = self._bands[2]
             else:
-                color_r = remap_bilinear(color, self.map_left)
+                color_map = self.map_left
+                band_c = self._bands[0]
+            if band_c > 0:
+                color_r = remap_bilinear_banded(color, color_map, band_c)
+            else:
+                color_r = remap_bilinear(color, color_map)
         if disp_in is None:
             disp, valid = sharded_disparity(left_r, right_r, cfg.stereo,
                                             self.mesh, halo=self.sgm_halo)

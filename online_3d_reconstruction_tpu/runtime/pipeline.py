@@ -48,7 +48,11 @@ from online_3d_reconstruction_tpu.odometry.frontend import (
     extract_frame_features,
     tracking_step,
 )
-from online_3d_reconstruction_tpu.stereo.rectify import rectify_pair, remap_bilinear
+from online_3d_reconstruction_tpu.stereo.rectify import (
+    rectify_pair,
+    remap_bilinear,
+    remap_bilinear_banded,
+)
 from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
 from online_3d_reconstruction_tpu.utils.metrics import MetricsLogger, StageTimer
 
@@ -69,10 +73,10 @@ class _Keyframe(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
-                                   "skip_rectify"))
+                                   "skip_rectify", "bands"))
 def _frame_stage(left, right, color, map_left, map_right, q,
                  stereo_cfg, feat_cfg, odo_cfg, map_cfg, disp_in=None,
-                 skip_rectify: bool = False):
+                 skip_rectify: bool = False, bands=(0, 0)):
     """Rectify -> disparity -> features -> camera-frame cloud (one dispatch).
 
     ``disp_in`` (optional (H, W) array) is a precomputed disparity map in the
@@ -81,15 +85,22 @@ def _frame_stage(left, right, color, map_left, map_right, q,
     supplied map feeds features + backprojection directly.
 
     ``skip_rectify`` (static): the rig's maps are the identity (already-
-    rectified input, e.g. the synthetic oracle) — the remap gather would be
-    a pure no-op costing ~8 ms/frame on v5e.
+    rectified input, e.g. the synthetic oracle) — the remap would be a pure
+    no-op. ``bands`` (static (left, right)): per-map vertical band heights
+    for the MXU remap (stereo/rectify.remap_bilinear_banded); 0 = gather.
     """
     if skip_rectify:
         left_r, right_r = left, right
         color_r = left_r if color is None else color
     else:
-        left_r, right_r = rectify_pair(left, right, map_left, map_right)
-        color_r = left_r if color is None else remap_bilinear(color, map_left)
+        left_r, right_r = rectify_pair(left, right, map_left, map_right,
+                                       band_left=bands[0], band_right=bands[1])
+        if color is None:
+            color_r = left_r
+        elif bands[0] > 0:
+            color_r = remap_bilinear_banded(color, map_left, bands[0])
+        else:
+            color_r = remap_bilinear(color, map_left)
     if disp_in is None:
         disp, valid = sgm_disparity(left_r, right_r, stereo_cfg)
     else:
@@ -164,12 +175,14 @@ def unpack_frame(packed, h: int, w: int, color_stride: int,
 
 def _packed_frame_body(packed, map_left, map_right, q,
                        stereo_cfg, feat_cfg, odo_cfg, map_cfg,
-                       precomputed_disp: bool, skip_rectify: bool = False):
+                       precomputed_disp: bool, skip_rectify: bool = False,
+                       bands=(0, 0, 0)):
     """Shared device body: unpack -> rectify -> disparity -> features ->
     camera-frame cloud. ``precomputed_disp`` (static) selects the reference's
     offline mode (SURVEY.md C5): the packed buffer then carries the supplied
     rectified-left disparity as fixed-point planes and SGM is skipped
-    entirely. ``skip_rectify``: identity maps (see _frame_stage).
+    entirely. ``skip_rectify``: identity maps (see _frame_stage). ``bands``
+    (static (left, right, color)): banded-MXU remap band heights, 0 = gather.
     """
     cs = map_cfg.frame_point_stride
     prior, frame_idx, left, right, color, disp = unpack_frame(
@@ -179,10 +192,15 @@ def _packed_frame_body(packed, map_left, map_right, q,
     if skip_rectify:
         left_r, right_r, color_r = left, right, color
     else:
-        left_r, right_r = rectify_pair(left, right, map_left, map_right)
+        left_r, right_r = rectify_pair(left, right, map_left, map_right,
+                                       band_left=bands[0], band_right=bands[1])
         # color travels at the cloud stride: remap it on the strided output
         # grid, with source coords scaled into the subsampled plane
-        color_r = remap_bilinear(color, map_left[::cs, ::cs] / float(cs))
+        color_map = map_left[::cs, ::cs] / float(cs)
+        if bands[2] > 0:
+            color_r = remap_bilinear_banded(color, color_map, bands[2])
+        else:
+            color_r = remap_bilinear(color, color_map)
     if not precomputed_disp:
         disp, _ = sgm_disparity(left_r, right_r, stereo_cfg)
     feats = extract_frame_features(left_r, disp, q, feat_cfg, odo_cfg)
@@ -200,13 +218,13 @@ def _packed_frame_body(packed, map_left, map_right, q,
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
                           "match_cfg", "fuse", "precomputed_disp",
-                          "skip_rectify"),
+                          "skip_rectify", "bands"),
          donate_argnums=(0,))
 def _steady_step(gmap, packed, map_left, map_right, q,
                  kf_feats, kf_pose, kf_prior, key,
                  stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
                  fuse: bool, precomputed_disp: bool = False,
-                 skip_rectify: bool = False):
+                 skip_rectify: bool = False, bands=(0, 0, 0)):
     """The ENTIRE steady-state frame as one dispatch.
 
     On a relay-attached TPU every dispatch and host->device transfer pays a
@@ -221,7 +239,7 @@ def _steady_step(gmap, packed, map_left, map_right, q,
     prior, frame_idx, feats, cloud = _packed_frame_body(
         packed, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
-        skip_rectify,
+        skip_rectify, bands,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -237,13 +255,14 @@ def _steady_step(gmap, packed, map_left, map_right, q,
 @partial(jax.jit,
          static_argnames=("stereo_cfg", "feat_cfg", "odo_cfg", "map_cfg",
                           "match_cfg", "ba_cfg", "fuse", "precomputed_disp",
-                          "skip_rectify", "noise_model"),
+                          "skip_rectify", "noise_model", "bands"),
          donate_argnums=(0, 1))
 def _steady_step_kf(gmap, ba_state, packed, map_left, map_right, q,
                     kf_feats, kf_pose, kf_prior, key,
                     stereo_cfg, feat_cfg, odo_cfg, map_cfg, match_cfg,
                     ba_cfg, fuse: bool, precomputed_disp: bool = False,
-                    skip_rectify: bool = False, noise_model=None):
+                    skip_rectify: bool = False, noise_model=None,
+                    bands=(0, 0, 0)):
     """Keyframe-event variant of ``_steady_step``: the window-BA append +
     track build + dense-Schur solve runs INSIDE the same dispatch, the map
     insert uses the BA-refined pose, and both the map pool and the BA window
@@ -256,7 +275,7 @@ def _steady_step_kf(gmap, ba_state, packed, map_left, map_right, q,
     prior, frame_idx, feats, cloud = _packed_frame_body(
         packed, map_left, map_right, q,
         stereo_cfg, feat_cfg, odo_cfg, map_cfg, precomputed_disp,
-        skip_rectify,
+        skip_rectify, bands,
     )
     pose, used_vo, count, matches = tracking_step(
         feats, kf_feats, kf_pose, kf_prior, prior, key, frame_idx,
@@ -343,6 +362,18 @@ class OnlineReconstructor:
             np.array_equal(np.asarray(rig.map_left), ident)
             and np.array_equal(np.asarray(rig.map_right), ident)
         )
+        # static band heights for the MXU remap (stereo/rectify); a
+        # degenerate map with a huge band falls back to the gather form
+        self._bands = (0, 0, 0)
+        if not self._skip_rectify:
+            from online_3d_reconstruction_tpu.stereo.rectify import vertical_band
+
+            cs = max(int(config.mapping.frame_point_stride), 1)
+            bl = vertical_band(np.asarray(rig.map_left))
+            br = vertical_band(np.asarray(rig.map_right))
+            bc = vertical_band(np.asarray(rig.map_left)[::cs, ::cs] / cs)
+            cap = mh // 4
+            self._bands = tuple(b if b <= cap else 0 for b in (bl, br, bc))
         self.gmap = create_map(config.mapping.map_capacity)
         self._capacity = config.mapping.map_capacity
         s = config.mapping.frame_point_stride
@@ -371,13 +402,18 @@ class OnlineReconstructor:
         self._ba = None
         self._ba_state = None
         self._ba_events: List = []   # (kf_indices, refined (W,4,4) handle)
-        # anisotropic observation weights need the rig's stereo geometry:
-        # depth_coeff = sigma_d / (fx b), lateral_coeff = sigma_px / fx
+        # the full 3x3 observation information needs the rig's stereo
+        # geometry (ba.problem.StereoNoiseModel is static/hashable so it can
+        # ride through the jitted keyframe dispatch)
         self._noise_model = None
         if config.ba.obs_weighting and rig.fx > 0 and rig.baseline > 0:
-            self._noise_model = (
-                config.ba.sigma_disparity / (rig.fx * rig.baseline),
-                config.ba.sigma_pixel / rig.fx,
+            from online_3d_reconstruction_tpu.ba.problem import StereoNoiseModel
+
+            self._noise_model = StereoNoiseModel(
+                fx=float(rig.fx), fy=float(rig.fy),
+                baseline=float(rig.baseline),
+                sigma_px=float(config.ba.sigma_pixel),
+                sigma_disparity=float(config.ba.sigma_disparity),
             )
         if config.runtime.ba_every_keyframe:
             if config.runtime.host_ba:
@@ -425,6 +461,7 @@ class OnlineReconstructor:
             left, right, color, self.map_left, self.map_right, self.q,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             disp_in=disp_in, skip_rectify=self._skip_rectify,
+            bands=self._bands[:2],
         )
 
     def pack(self, frame: FrameData, frame_index: "int | None" = None
@@ -448,6 +485,7 @@ class OnlineReconstructor:
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, fuse, precomputed_disp, self._skip_rectify,
+            self._bands,
         )
 
     def _run_steady_step_kf(self, packed, kf: "_Keyframe", fuse: bool,
@@ -460,7 +498,7 @@ class OnlineReconstructor:
             kf.features, kf.pose, kf.prior_pose, self._key,
             cfg.stereo, cfg.features, cfg.odometry, cfg.mapping,
             cfg.matching, cfg.ba, fuse, precomputed_disp,
-            self._skip_rectify, self._noise_model,
+            self._skip_rectify, self._noise_model, self._bands,
         )
 
     def process(self, frame: FrameData, packed=None) -> dict:
@@ -719,10 +757,12 @@ def reconstruct(dataset, config: PipelineConfig, rig: RectifiedRig) -> Reconstru
     """One-call API: iterate a dataset through the online loop.
 
     The L7 entry point (SURVEY.md §3.6): ``o3r.reconstruct(dataset, config)``.
-    Host ingest is prefetched ``runtime.prefetch_depth`` frames ahead (P5)
-    and the run is optionally wrapped in a jax.profiler trace.
+    Host ingest, frame packing, AND the host->device upload are all
+    prefetched ``runtime.prefetch_depth`` frames ahead in a worker thread
+    (P5) so the steady-state loop consumes device-resident buffers; the run
+    is optionally wrapped in a jax.profiler trace.
     """
-    from online_3d_reconstruction_tpu.runtime.prefetch import prefetch
+    from online_3d_reconstruction_tpu.runtime.prefetch import device_prefetch
 
     engine = OnlineReconstructor(config, rig)
     trace_dir = None
@@ -731,8 +771,9 @@ def reconstruct(dataset, config: PipelineConfig, rig: RectifiedRig) -> Reconstru
         os.makedirs(trace_dir, exist_ok=True)
         jax.profiler.start_trace(trace_dir)
     try:
-        for frame in prefetch(dataset, config.runtime.prefetch_depth):
-            engine.process(frame)
+        for frame, packed in device_prefetch(dataset, engine,
+                                             config.runtime.prefetch_depth):
+            engine.process(frame, packed=packed)
     finally:
         if trace_dir is not None:
             jax.profiler.stop_trace()

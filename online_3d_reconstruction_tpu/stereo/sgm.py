@@ -15,17 +15,20 @@ TPU-native design (north star: "cost-volume SGM -> Pallas scan kernel"):
   the perpendicular image axis and the disparity axis — each scan step is an
   (L, D) elementwise min-tree on the VPU.  This module implements it as a
   ``jax.lax.scan`` (portable, compiles on CPU and TPU); ``sgm_pallas.py``
-  holds the VMEM-resident Pallas kernel used on real TPU hardware.
-- Diagonal paths are handled by *skewing* the cost volume (row y shifted by
-  ±y) so every diagonal becomes a column, reusing the same vertical scan —
-  a gather + the identical kernel, no special-case recurrence.
-- WTA / uniqueness / subpixel / LR-check are fused elementwise XLA.
-- The speckle filter (cv2.filterSpeckles semantics) is a connected-components
-  pass written as iterative min-label propagation inside ``lax.while_loop``
-  plus one scatter-add for blob sizes — no host round trip.
+  holds the fused multi-direction Pallas kernel used on real TPU hardware
+  (one pass computes vertical AND both diagonals via lane-shifted carries).
+- Volumes are (H, D, W): W on the 128-lane axis (D = 64 would pad to 128
+  lanes and double memory + DMA), D on sublanes, H the scan axis.
+- WTA / uniqueness / subpixel / LR-check are fused elementwise XLA; the
+  right-view disparity and LR cross-check are gather-free (pad/reshape
+  shears + one-hot reductions).
+- The speckle filter (cv2.filterSpeckles semantics) is the scan-only
+  "run-cross mass" bound of ``speckle_filter`` — 8 segmented cumulative
+  sums, no scatters, no while_loop (the earlier connected-components
+  label-propagation formulation cost 12 ms/frame on v5e; this one ~1.5 ms
+  and differs from cv2's exact CC on 0.004% of pixels).
 
-Everything is static-shape; the only data-dependent loop (label propagation)
-is a ``while_loop`` bounded by the image diameter.
+Everything is static-shape with no data-dependent control flow at all.
 """
 
 from __future__ import annotations

@@ -1,42 +1,35 @@
-"""Pallas TPU kernel for SGM path aggregation.
+"""Pallas TPU kernels for SGM path aggregation.
 
 The north star mandates "cost-volume SGM -> Pallas scan kernel" (SURVEY.md
 §2.2). The recurrence is sequential along the scan direction, but each step
-is an elementwise min-tree over an (L, D) line — pure VPU work.
+is an elementwise min-tree over a line of the volume — pure VPU work.
 
-Kernel design (v2 — streaming scan):
+THE PRODUCTION KERNEL is the fused multi-direction v3 further down
+(``aggregate_fused``, see the "v3" banner comment for its design): (S, D, L)
+layout with the line axis on the 128 lanes, one pass computing the vertical
+AND both diagonal directions via lane-shifted carries, and the horizontal
+pair (same kernel on the transpose) seeding the accumulator. 8-path
+aggregation measured 0.49 ms at 384x512xD64 bf16 on v5e — 58% of the VPU
+roofline bound (BASELINE.md kernel history).
 
-- The scan axis S is a *grid* dimension in blocks of ``_S_BLK`` lines; Mosaic
-  double-buffers the HBM->VMEM DMA of the next (S_BLK, TL, D) cost block
-  behind the compute of the current one, so the cost volume streams through
-  VMEM at HBM bandwidth instead of having to fit in it.
-- The per-line-tile recurrence carry (TL, D) lives in VMEM *scratch*, which
-  persists across sequential grid steps; it is re-zeroed whenever a new line
-  tile starts (program_id(1) == 0).
-- Each inner step is a (TL, D) VPU min-tree with TL up to 512 lines — big
-  enough to amortize loop and DMA-turnaround overhead (the v1 kernel kept the
-  whole scan extent resident, was forced to 16-line tiles, and measured
-  ~1.1 s/volume on v5e; this layout is the fix).
-- Forward and backward directions are two ``pallas_call``s: the forward pass
-  writes its aggregation, the backward pass revisits the blocks in reverse
-  grid order and accumulates into the forward output via
-  ``input_output_aliases`` (one extra read of the output volume, no copy).
+``scan_pair`` below is the earlier v2 per-pair streaming kernel, kept
+because it is the general single-direction form (arbitrary pre-skewed
+volumes) the tests cross-check against. Shared design rules, measured on
+v5e:
 
-Layout rule that makes or breaks this kernel: the scan axis must be the
-LEADING block axis so each step reads ``cost_ref[s]`` = one contiguous
-(TL, D) sublanes-x-lanes tile. With the scan axis in the middle
-(``cost_ref[:, s, :]``) every step is a strided single-sublane gather and the
-kernel runs ~1000x off roofline (measured on v5e).
-
-Direction mapping (all 4/8 paths reuse this one kernel):
-- vertical pair:   cost (H, W, D) scans along H directly;
-- horizontal pair: scan the (W, H, D) transpose;
-- diagonal pairs:  scan the skewed volume (sgm._skew) along H — a sheared
-  image turns diagonals into columns.
-
-Zero-padding along S is exactly neutral: a zero carry stepped over a
-zero-cost line stays zero, which is the fresh-edge initial condition, so the
-backward scan can start inside the padding without changing any real output.
+- The scan axis S is a *grid* dimension; Mosaic double-buffers the
+  HBM->VMEM DMA of the next cost block behind the compute of the current
+  one, and the recurrence carry lives in VMEM *scratch* that persists
+  across sequential grid steps.
+- The scan axis must be the LEADING block axis so each step reads
+  ``cost_ref[s]`` = one contiguous sublanes-x-lanes tile; a mid-axis scan
+  (``cost_ref[:, s, :]``) degenerates to single-sublane reads, ~1000x off
+  roofline.
+- Forward and backward passes alias their output (``input_output_aliases``)
+  so the backward pass accumulates in place, no extra volume copy.
+- Zero-padding along S is exactly neutral: a zero carry stepped over a
+  zero-cost line stays zero — the fresh-edge initial condition — so padded
+  scans never corrupt real output.
 """
 
 from __future__ import annotations

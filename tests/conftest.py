@@ -3,14 +3,35 @@
 Tests must run identically with or without the single real TPU chip; the
 multi-chip sharding suite needs >1 device, which only the CPU platform can
 simulate here (SURVEY.md §4.4). Must run before the first ``import jax``.
+
+Opt-out: ``O3R_TEST_TPU=1`` keeps the real TPU backend so the TPU-gated
+Mosaic compile tests (tests/test_tpu_pallas.py) can run against the chip:
+
+    O3R_TEST_TPU=1 python -m pytest tests/test_tpu_pallas.py -q
+
+Do NOT run the whole suite that way — the multi-device sharding tests need
+the 8 virtual CPU devices.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets axon (TPU); tests force CPU
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_OPTIN = os.environ.get("O3R_TEST_TPU", "") == "1"
+
+if not _TPU_OPTIN:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets axon (TPU)
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+        # XLA:CPU *kills the whole process* (SIGABRT, "Exiting to ensure a
+        # consistent program state") when the 8 virtual devices fail to join
+        # a collective rendezvous within its default timeout — which an
+        # oversubscribed small host (2-core CI box running the distributed
+        # shard_map tests) routinely triggers mid-compile. Raise it far past
+        # any legitimate suite stall; real deadlocks still die, just slower.
+        _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                   " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+    os.environ["XLA_FLAGS"] = _flags
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -20,7 +41,8 @@ import jax  # noqa: E402
 
 # The axon TPU plugin in this environment ignores the JAX_PLATFORMS env var;
 # only the config knob reliably forces the CPU backend.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_OPTIN:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

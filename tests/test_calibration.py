@@ -96,3 +96,75 @@ def test_q_matrix_roundtrip():
     vec = rig.q @ np.array([u, v, d, 1.0])
     xyz = vec[:3] / vec[3]
     assert abs(xyz[2] - z) < 1e-6
+
+
+class TestBandedRemap:
+    """remap_bilinear_banded == remap_bilinear (the hot-path MXU form must be
+    exactly the bilinear gather it replaces, OOB/fill semantics included)."""
+
+    def _rig(self):
+        cam = CameraIntrinsics(fx=100.0, fy=100.0, cx=64.0, cy=48.0,
+                               width=128, height=96,
+                               dist=(-0.25, 0.08, 0.001, -0.001, 0.0))
+        calib = StereoCalibration(left=cam, right=cam,
+                                  translation=np.array([-0.2, 0.01, 0.0]))
+        return stereo_rectify(calib)
+
+    def test_matches_gather_gray_and_color(self):
+        import jax.numpy as jnp
+
+        from online_3d_reconstruction_tpu.stereo.rectify import (
+            remap_bilinear,
+            remap_bilinear_banded,
+            vertical_band,
+        )
+
+        rng = np.random.default_rng(0)
+        rig = self._rig()
+        for shape in [(96, 128), (96, 128, 3)]:
+            img = rng.random(shape).astype(np.float32)
+            for m in (rig.map_left, rig.map_right):
+                band = vertical_band(m)
+                a = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(m)))
+                b = np.asarray(remap_bilinear_banded(jnp.asarray(img),
+                                                     jnp.asarray(m), band))
+                np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_matches_gather_wild_map_with_oob(self):
+        import jax.numpy as jnp
+
+        from online_3d_reconstruction_tpu.stereo.rectify import (
+            remap_bilinear,
+            remap_bilinear_banded,
+            vertical_band,
+        )
+
+        rng = np.random.default_rng(1)
+        img = rng.random((64, 96)).astype(np.float32)
+        # random map spilling outside the image exercises fill semantics;
+        # sorting rows keeps the vertical band finite but large
+        m = (rng.random((64, 96, 2)).astype(np.float32)
+             * np.array([110.0, 80.0], np.float32) - 8.0)
+        m.sort(axis=0)
+        band = vertical_band(m)
+        a = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(m)))
+        b = np.asarray(remap_bilinear_banded(jnp.asarray(img), jnp.asarray(m),
+                                             band))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_band_cap_degenerates_to_full_height(self):
+        import jax.numpy as jnp
+
+        from online_3d_reconstruction_tpu.stereo.rectify import (
+            remap_bilinear,
+            remap_bilinear_banded,
+        )
+
+        rng = np.random.default_rng(2)
+        img = rng.random((32, 48)).astype(np.float32)
+        m = (rng.random((32, 48, 2)).astype(np.float32)
+             * np.array([46.0, 30.0], np.float32))
+        a = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(m)))
+        b = np.asarray(remap_bilinear_banded(jnp.asarray(img), jnp.asarray(m),
+                                             band=999))
+        np.testing.assert_allclose(a, b, atol=1e-5)

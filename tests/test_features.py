@@ -128,3 +128,70 @@ class TestPyramid:
         single = n_matches(1)
         pyr = n_matches(3)
         assert pyr >= single, (single, pyr)
+
+
+class TestSubpixel:
+    """Score-surface subpixel refinement (features/fast.refine_subpixel_score).
+
+    Integer FAST detections quantize to +-0.5 px frame-correlated error —
+    the measured dominant BA observation term; the parabola fit must (a)
+    recover known fractional peak positions and (b) make detections of the
+    same content more consistent under subpixel image translation.
+    """
+
+    def test_recovers_fractional_blob_center(self):
+        h, w = 64, 64
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        errs_int, errs_sub = [], []
+        for (cy, cx) in [(30.3, 31.6), (24.8, 40.25), (40.1, 22.7)]:
+            img = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 1.8 ** 2))
+            xy_i, _, v_i = detect_keypoints(jnp.asarray(img.astype(np.float32)),
+                                            max_keypoints=4, border=5)
+            xy_s, _, v_s = detect_keypoints(jnp.asarray(img.astype(np.float32)),
+                                            max_keypoints=4, border=5,
+                                            subpixel=True)
+            assert bool(np.asarray(v_i)[0]) and bool(np.asarray(v_s)[0])
+            errs_int.append(np.linalg.norm(np.asarray(xy_i)[0] - [cx, cy]))
+            errs_sub.append(np.linalg.norm(np.asarray(xy_s)[0] - [cx, cy]))
+        assert np.mean(errs_sub) < 0.2
+        assert np.mean(errs_sub) < 0.6 * np.mean(errs_int)
+
+    def test_translation_consistency_on_scene(self, small_rig):
+        from online_3d_reconstruction_tpu.io.synthetic import (
+            SyntheticScene,
+            nadir_pose,
+        )
+
+        scene = SyntheticScene(seed=11, supersample=2)
+        alt = 24.0
+        dx_m = 0.03   # -> fx * dx / alt = 0.25 px image shift
+        shift_px = small_rig.fx * dx_m / alt
+        f1 = scene.render_stereo(nadir_pose(0.0, 0.0, alt), small_rig)
+        f2 = scene.render_stereo(nadir_pose(dx_m, 0.0, alt), small_rig)
+
+        def detect(img, subpixel):
+            xy, _, v = detect_keypoints(jnp.asarray(img), max_keypoints=256,
+                                        threshold=5.0 / 255.0,
+                                        subpixel=subpixel)
+            return np.asarray(xy)[np.asarray(v)]
+
+        def shift_err(sub):
+            a = detect(f1.left, sub)
+            b = detect(f2.left, sub)
+            # same content appears shift_px to the LEFT in f2 (camera moved
+            # +x); associate nearest neighbors and measure the residual
+            target = a - np.array([shift_px, 0.0])
+            d = np.linalg.norm(target[:, None, :] - b[None, :, :], axis=-1)
+            j = d.argmin(axis=1)
+            ok = d[np.arange(len(a)), j] < 1.0
+            resid = target[ok] - b[j[ok]]
+            return float(np.sqrt((resid ** 2).sum(axis=1).mean())), int(ok.sum())
+
+        err_int, n_int = shift_err(False)
+        err_sub, n_sub = shift_err(True)
+        assert n_int > 50 and n_sub > 50
+        # subpixel detections must track the true fractional shift better
+        # than integer ones re-quantizing to the grid
+        assert err_sub < err_int
+        assert err_sub < 0.35

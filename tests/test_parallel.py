@@ -204,3 +204,41 @@ class TestVoxelRouteMerge:
             mesh8, voxel_size=0.25, bounds=64.0, bucket_capacity=4,
         )
         assert int(dropped) > 0  # tiny buckets must overflow and be counted
+
+
+class TestSlotShardedBA:
+    """Keyframe-sharded (slot-major) distributed Schur — the large-window P2
+    form: per-device accumulation O((N/n)*L), one psum (landmark blocks) +
+    one all_gather (pose blocks) per GN iteration."""
+
+    def test_matches_single_device(self, mesh8):
+        from online_3d_reconstruction_tpu.ba.testing import make_synthetic_bundle
+        from online_3d_reconstruction_tpu.parallel.ba_sharded import (
+            solve_ba_slot_sharded,
+        )
+
+        rng = np.random.default_rng(7)
+        w, l, k = 16, 128, 32
+        problem, _, _ = make_synthetic_bundle(rng, w=w, l=l, obs_noise=0.02,
+                                              n_cap=w * k, obs_per_kf=k)
+        p1, l1, t1 = solve_ba(problem, iters=4, damping=1e-4, huber_delta=0.5,
+                              slot_major=k)
+        p8, l8, t8 = solve_ba_slot_sharded(problem, mesh8, slot_major=k,
+                                           iters=4, damping=1e-4,
+                                           huber_delta=0.5)
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), rtol=1e-4)
+
+    def test_rejects_bad_layout(self, mesh8):
+        from online_3d_reconstruction_tpu.ba.testing import make_synthetic_bundle
+        from online_3d_reconstruction_tpu.parallel.ba_sharded import (
+            solve_ba_slot_sharded,
+        )
+
+        rng = np.random.default_rng(8)
+        problem, _, _ = make_synthetic_bundle(rng, w=6, l=16, n_cap=6 * 16)
+        with pytest.raises(ValueError, match="slot-sharded"):
+            solve_ba_slot_sharded(problem, mesh8, slot_major=16, iters=1)

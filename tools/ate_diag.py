@@ -12,7 +12,6 @@ Usage: PYTHONPATH=/root/repo python tools/ate_diag.py [--frames N]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import numpy as np
 
@@ -34,20 +33,24 @@ PRIOR_T_SIGMA = 0.15
 PRIOR_R_SIGMA = 0.01
 
 
-def oracle_fuse(priors: np.ndarray, gt: np.ndarray, window: int) -> np.ndarray:
+def oracle_fuse(priors: np.ndarray, gt: np.ndarray, window: int,
+                kf_frames: "list[int] | None" = None) -> np.ndarray:
     """Information bound: causal+acausal sliding-window fuse of the prior
     translations assuming PERFECT relative poses (vision noise = 0). Each
-    frame's estimate = gt_k + windowed mean of (prior_i - gt_i) over the
-    same window the BA uses (the last `window` keyframes at the time the
-    frame was last solved, i.e. frames [k, k+window) clipped)."""
+    KEYFRAME's estimate = gt_k + windowed mean of (prior_i - gt_i) over the
+    window where it is oldest — the last solve that touched it. ``kf_frames``
+    lists the frame indices that became keyframes (windows slide over
+    keyframes, not frames); non-keyframes inherit their preceding keyframe's
+    window."""
     n = len(priors)
+    kf = sorted(kf_frames) if kf_frames else list(range(n))
     err = priors[:, :3, 3] - gt[:, :3, 3]
     out = gt.copy()
     for k in range(n):
-        # frame k's final estimate comes from the window where it is oldest:
-        # frames [k, min(k+window, n))
-        sl = err[k:min(k + window, n)]
-        out[k, :3, 3] = gt[k, :3, 3] + sl.mean(axis=0)
+        # position of k's governing keyframe in the keyframe sequence
+        pos = max(0, np.searchsorted(kf, k, side="right") - 1)
+        idx = [kf[i] for i in range(pos, min(pos + window, len(kf)))]
+        out[k, :3, 3] = gt[k, :3, 3] + err[idx].mean(axis=0)
     return out
 
 
@@ -98,7 +101,8 @@ def main():
 
     ate_full = ate_rmse(traj, gt)
     ate_prior = ate_rmse(priors, gt)
-    oracle = oracle_fuse(priors, gt, cfg.ba.window)
+    kf_frames = [k for k, r in enumerate(recs) if r.get("keyframe")]
+    oracle = oracle_fuse(priors, gt, cfg.ba.window, kf_frames)
     ate_oracle = ate_rmse(oracle, gt)
     # rotation error of the estimate (deg RMS)
     rel = np.einsum("kij,kil->kjl", traj[:, :3, :3], gt[:, :3, :3])

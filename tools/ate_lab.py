@@ -47,12 +47,15 @@ def main():
     ap.add_argument("--sgm", action="store_true",
                     help="run real SGM instead of GT disparity (slow on CPU)")
     ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--ss", type=int, default=2,
+                    help="render supersampling (2 = bench's AA camera model)")
     args = ap.parse_args()
 
     h, w, d = 384, 512, 64
     rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
                        width=w, height=h)
-    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)])
+    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)],
+                           supersample=args.ss)
     poses = make_survey_trajectory(args.frames, altitude=30.0, speed=1.2)
     dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses,
                                 prior_translation_sigma=PRIOR_T_SIGMA,
@@ -82,24 +85,19 @@ def main():
     variants = {
         "unweighted (r2 behavior)": dataclasses.replace(
             base.ba, obs_weighting=False, huber_delta=0.5),
-        "w px2 d1 hub3": dataclasses.replace(w, sigma_pixel=2.0,
-                                             sigma_disparity=1.0,
-                                             huber_delta=3.0),
-        "w px1 d1 hub3": dataclasses.replace(w, sigma_pixel=1.0,
-                                             sigma_disparity=1.0,
-                                             huber_delta=3.0),
-        "w px0.5 d1 hub3": dataclasses.replace(w, sigma_pixel=0.5,
-                                               sigma_disparity=1.0,
-                                               huber_delta=3.0),
         "w px1 d0.5 hub3": dataclasses.replace(w, sigma_pixel=1.0,
                                                sigma_disparity=0.5,
                                                huber_delta=3.0),
-        "w px1 d1 hub3 W16": dataclasses.replace(w, sigma_pixel=1.0,
-                                                 sigma_disparity=1.0,
-                                                 huber_delta=3.0, window=16),
-        "w px0.5 hub0.5 (r3 note)": dataclasses.replace(w, sigma_pixel=0.5,
-                                                        sigma_disparity=1.0,
-                                                        huber_delta=0.5),
+        "w px0.5 d0.5 hub3": dataclasses.replace(w, sigma_pixel=0.5,
+                                                 sigma_disparity=0.5,
+                                                 huber_delta=3.0),
+        "w px0.25 d0.25 hub3": dataclasses.replace(w, sigma_pixel=0.25,
+                                                   sigma_disparity=0.25,
+                                                   huber_delta=3.0),
+        "w px0.2 d0.3 hub3 W16": dataclasses.replace(w, sigma_pixel=0.2,
+                                                     sigma_disparity=0.3,
+                                                     huber_delta=3.0,
+                                                     window=16),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)

@@ -33,12 +33,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--sgm", action="store_true")
+    ap.add_argument("--ss", type=int, default=2,
+                    help="render supersampling (2 = bench's AA camera model)")
+    ap.add_argument("--no-subpixel", action="store_true",
+                    help="disable subpixel keypoint refinement")
     args = ap.parse_args()
 
     h, w, d = 384, 512, 64
     rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
                        width=w, height=h)
-    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)])
+    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)],
+                           supersample=args.ss)
     poses = make_survey_trajectory(args.frames, altitude=30.0, speed=1.2)
     dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses,
                                 prior_translation_sigma=0.15,
@@ -49,7 +54,8 @@ def main():
     cfg = PipelineConfig(
         stereo=StereoConfig(height=h, width=w, max_disparity=d, num_paths=8,
                             use_pallas=False),
-        features=FeatureConfig(max_keypoints=512, fast_threshold=5.0),
+        features=FeatureConfig(max_keypoints=512, fast_threshold=5.0,
+                               subpixel=not args.no_subpixel),
         odometry=OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0),
         ba=BAConfig(prior_position_weight=1.0 / 0.15**2,
                     prior_rotation_weight=1.0 / 0.01**2),
@@ -76,7 +82,9 @@ def main():
     obs_pt = np.asarray(problem.obs_point)
     ok = np.asarray(problem.obs_valid)
 
-    # GT pose per slot
+    # GT pose per slot; obs_kf covers all window slots, so clip indices into
+    # the live range (invalid observations are masked by `ok` anyway)
+    obs_kf = np.clip(obs_kf, 0, live - 1)
     gt_slot = np.stack([gt[kf_idx[s]] for s in range(live)])
     r_gt = gt_slot[:, :3, :3]
     t_gt = gt_slot[:, :3, 3]

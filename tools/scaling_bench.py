@@ -30,9 +30,6 @@ from online_3d_reconstruction_tpu.config import StereoConfig
 from online_3d_reconstruction_tpu.parallel.ba_sharded import solve_ba_sharded
 from online_3d_reconstruction_tpu.parallel.mesh import make_mesh
 from online_3d_reconstruction_tpu.parallel.sgm_sharded import sharded_disparity
-from online_3d_reconstruction_tpu.parallel.voxel_sharded import (
-    sharded_voxel_downsample,
-)
 
 NS = (1, 2, 4, 8)
 
@@ -68,8 +65,55 @@ def bench_p2():
             "wall_s": rows, "comm": comm}
 
 
+def bench_p2_slots():
+    """Keyframe-sharded BA at blueprint window scale (W=64, 512 obs/frame)."""
+    from online_3d_reconstruction_tpu.ba.schur import solve_ba
+    from online_3d_reconstruction_tpu.parallel.ba_sharded import (
+        solve_ba_slot_sharded,
+    )
+
+    w_kf, l_lm, k_obs, iters = 64, 2048, 512, 5
+    problem, _, _ = make_synthetic_bundle(np.random.default_rng(3), w=w_kf,
+                                          l=l_lm, obs_noise=0.02,
+                                          n_cap=w_kf * k_obs,
+                                          obs_per_kf=k_obs)
+    rows = {}
+    for n in NS:
+        if n == 1:
+            rows[n] = timeit(lambda: solve_ba(
+                problem, iters=iters, damping=1e-4, huber_delta=0.5,
+                slot_major=k_obs)[0])
+        else:
+            mesh = make_mesh(n)
+            rows[n] = timeit(lambda: solve_ba_slot_sharded(
+                problem, mesh, slot_major=k_obs, iters=iters, damping=1e-4,
+                huber_delta=0.5)[0])
+    gather_bytes = 4 * (w_kf * (36 + 6) + w_kf * l_lm * 18)
+    psum_bytes = 4 * (l_lm * 9 + l_lm * 3)
+    comm = {"collective": "psum(C,g_x) + all_gather(B,E,g_p)",
+            "bytes_per_call": gather_bytes + psum_bytes, "calls": iters,
+            "note": "per-device accumulation is O((N/n)*L); the gather's "
+                    "bytes are dominated by the (W,L,6,3) E blocks"}
+    return {"name": f"P2 slot-sharded BA W={w_kf} L={l_lm} obs={w_kf*k_obs} "
+                    f"it={iters}",
+            "wall_s": rows, "comm": comm}
+
+
 def bench_p3():
-    """Spatially-sharded voxel downsample: 8M points."""
+    """Spatially-sharded voxel merge (owner-routed): 8M points.
+
+    Uses the production P3 path ``voxel_route_merge`` with the O(N/n)
+    bucket capacity (1.5x the balanced-hash expectation): per-shard work is
+    a local N/n-point pre-reduction plus an owner-side merge over
+    1.5 N/n records — both shrink with n, unlike the earlier all-gather
+    variant whose replicated final merge re-sorted all N records on every
+    device (the round-3 5.2x blow-up at n=8). Overflow (`dropped`) is
+    asserted zero so the speedup is never bought with silent loss.
+    """
+    from online_3d_reconstruction_tpu.parallel.voxel_sharded import (
+        voxel_route_merge,
+    )
+
     n_pts = 8_000_000
     rng = np.random.default_rng(1)
     pts = rng.uniform(-512, 512, (n_pts, 3)).astype(np.float32)
@@ -78,14 +122,26 @@ def bench_p3():
     rows = {}
     for n in NS:
         mesh = make_mesh(n)
+        n_local = n_pts // n
+        cap = min(n_local, -(-3 * n_local // (2 * n)))
         p = jnp.asarray(pts); c = jnp.asarray(cols); v = jnp.asarray(ok)
-        rows[n] = timeit(lambda: sharded_voxel_downsample(
-            p, c, v, mesh, voxel_size=1.0, bounds=512.0).points)
-    comm = {"collective": "all_to_all(point buckets) + psum(dropped)",
-            "bytes_per_call": n_pts * (3 + 3 + 1) * 4,
+
+        def run(p=p, c=c, v=v, mesh=mesh, cap=cap):
+            out, dropped = voxel_route_merge(p, c, v, mesh, voxel_size=1.0,
+                                             bounds=512.0,
+                                             bucket_capacity=cap)
+            return out.points, dropped
+
+        out_pts, dropped = run()
+        assert int(dropped) == 0, (n, int(dropped))
+        rows[n] = timeit(lambda: run()[0])
+    comm = {"collective": "all_to_all(pre-reduced voxel records) + psum(dropped)",
+            "bytes_per_call": n_pts * (7 * 4 + 2 * 4),
             "calls": 1,
-            "note": "each point crosses the wire at most once (owner routing)"}
-    return {"name": f"P3 voxel downsample {n_pts/1e6:.0f}M pts",
+            "note": "upper bound: each locally-unique voxel record (28 B sums"
+                    " + 8 B key) crosses the wire at most once; local"
+                    " duplication reduces it further"}
+    return {"name": f"P3 owner-routed voxel merge {n_pts/1e6:.0f}M pts",
             "wall_s": rows, "comm": comm}
 
 
@@ -115,7 +171,7 @@ def bench_p4():
 def main():
     assert len(jax.devices()) >= 8, (
         "need XLA_FLAGS=--xla_force_host_platform_device_count=8")
-    results = [bench_p2(), bench_p3(), bench_p4()]
+    results = [bench_p2(), bench_p2_slots(), bench_p3(), bench_p4()]
     print("\n## Strong scaling on the 8-virtual-device CPU mesh "
           "(one host's cores — see caveat in file docstring)\n")
     print("| stage | " + " | ".join(f"n={n}" for n in NS)

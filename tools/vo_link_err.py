@@ -9,7 +9,6 @@ Usage: PYTHONPATH=/root/repo python tools/vo_link_err.py [--frames N] [--sgm]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import numpy as np
 
@@ -59,10 +58,9 @@ def main():
                               ba_every_keyframe=False, host_ba=False,
                               use_precomputed_disparity=not args.sgm),
     )
-    # force pure-VO chaining: disable the prior fallback by a huge gate? The
+    # The prior fallback stays ENABLED (its use is visible via used_vo); the
     # frontend composes rel onto the PREVIOUS KEYFRAME pose, so consecutive
-    # pose errors differ exactly by the link error (the prior enters only
-    # on fallback, visible via used_vo).
+    # pose errors differ exactly by the link error.
     eng = OnlineReconstructor(cfg, rig)
     recs = [eng.process(f) for f in frames]
     res = eng.finish()
