@@ -19,20 +19,26 @@ from tests.test_odometry import _test_config, vo_rig, vo_scene  # noqa: F401
 
 
 @pytest.fixture(scope="module")
-def mesh8():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    return make_mesh(8)
+def mesh4():
+    # 4 replicas, not 8: the distributed loop's donated shard_map keyframe
+    # step is the one program that can deadlock XLA:CPU's collective
+    # rendezvous on an oversubscribed small host (observed at 8 replicas on
+    # 2 cores under load, even in a fresh process); halving the replica
+    # count halves the threads that must assemble each rendezvous while
+    # testing exactly the same sharded code paths.
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    return make_mesh(4)
 
 
-def test_distributed_loop_tracks(vo_scene, vo_rig, mesh8):
+def test_distributed_loop_tracks(vo_scene, vo_rig, mesh4):
     cfg = _test_config()
     poses = [nadir_pose(0.8 * i, 0.1 * i, 12.0) for i in range(6)]
     dataset = SyntheticSequence(scene=vo_scene, rig=vo_rig, poses=poses)
     frames = [dataset[i] for i in range(6)]
 
     res_1 = reconstruct(frames, cfg, vo_rig)
-    res_8 = reconstruct_distributed(frames, cfg, vo_rig, mesh8, sgm_halo=16)
+    res_8 = reconstruct_distributed(frames, cfg, vo_rig, mesh4, sgm_halo=16)
 
     gt = np.stack(poses)
     ate_1 = ate_rmse(res_1.trajectory, gt)

@@ -46,6 +46,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sgm", action="store_true",
                     help="run real SGM instead of GT disparity (slow on CPU)")
+    ap.add_argument("--sgm-cache", default="",
+                    help="NPZ path: compute real SGM disparities ONCE (slow),"
+                         " then sweep estimator configs against the cached"
+                         " maps in fast precomputed-disparity mode — real"
+                         " stereo noise without re-running SGM per variant")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--ss", type=int, default=2,
                     help="render supersampling (2 = bench's AA camera model)")
@@ -61,6 +66,30 @@ def main():
                                 prior_translation_sigma=PRIOR_T_SIGMA,
                                 prior_rotation_sigma=PRIOR_R_SIGMA)
     frames = [dataset[i] for i in range(len(dataset))]
+    if args.sgm_cache:
+        import os
+
+        if os.path.exists(args.sgm_cache):
+            disp_all = np.load(args.sgm_cache)["disparity"]
+            assert len(disp_all) >= len(frames)
+        else:
+            import jax.numpy as jnp
+
+            from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
+            from online_3d_reconstruction_tpu.config import StereoConfig
+
+            scfg = StereoConfig(height=h, width=w, max_disparity=d,
+                                num_paths=8, use_pallas=False)
+            maps = []
+            for i, f in enumerate(frames):
+                dd, _ = sgm_disparity(jnp.asarray(f.left),
+                                      jnp.asarray(f.right), scfg)
+                maps.append(np.asarray(dd))
+                print(f"  sgm {i + 1}/{len(frames)}", flush=True)
+            disp_all = np.stack(maps)
+            np.savez_compressed(args.sgm_cache, disparity=disp_all)
+        frames = [f._replace(disparity=disp_all[i])
+                  for i, f in enumerate(frames)]
     gt = np.stack([f.gt_pose for f in frames])
     priors = np.stack([f.prior_pose for f in frames])
     ate_prior = ate_rmse(priors, gt)
@@ -81,23 +110,21 @@ def main():
                               use_precomputed_disparity=not args.sgm),
     )
 
-    w = dataclasses.replace(base.ba, obs_weighting=True)
+    w = dataclasses.replace(base.ba, obs_weighting=True, huber_delta=3.0)
     variants = {
         "unweighted (r2 behavior)": dataclasses.replace(
             base.ba, obs_weighting=False, huber_delta=0.5),
-        "w px1 d0.5 hub3": dataclasses.replace(w, sigma_pixel=1.0,
-                                               sigma_disparity=0.5,
-                                               huber_delta=3.0),
-        "w px0.5 d0.5 hub3": dataclasses.replace(w, sigma_pixel=0.5,
-                                                 sigma_disparity=0.5,
-                                                 huber_delta=3.0),
-        "w px0.25 d0.25 hub3": dataclasses.replace(w, sigma_pixel=0.25,
-                                                   sigma_disparity=0.25,
-                                                   huber_delta=3.0),
-        "w px0.2 d0.3 hub3 W16": dataclasses.replace(w, sigma_pixel=0.2,
-                                                     sigma_disparity=0.3,
-                                                     huber_delta=3.0,
-                                                     window=16),
+        "w px0.5 d0.5 (bench)": dataclasses.replace(w, sigma_pixel=0.5,
+                                                    sigma_disparity=0.5),
+        "w px0.3 d0.2": dataclasses.replace(w, sigma_pixel=0.3,
+                                            sigma_disparity=0.2),
+        "w px0.5 d0.5 W16": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=0.5,
+                                                window=16),
+        "w px0.3 d0.3 W16 L1024": dataclasses.replace(w, sigma_pixel=0.3,
+                                                      sigma_disparity=0.3,
+                                                      window=16,
+                                                      max_landmarks=1024),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)
