@@ -101,6 +101,11 @@ class OdometryConfig:
     # relative information of the z residual component in the link fit
     # (stereo z noise is ~3x lateral and correlated; 0 < w <= 1)
     depth_rel_weight: float = 0.2
+    # valid-masked box pre-averaging of the disparity map before keypoint
+    # lifts (frontend.lift_keypoints_to_3d): radius r -> (2r+1)^2 window.
+    # A point sample carries the full per-pixel SGM noise into every
+    # observation; the local mean respects a smooth surface. 0 = off.
+    disparity_smooth_radius: int = 2
     seed: int = 0
 
 

@@ -38,6 +38,7 @@ def lift_keypoints_to_3d(
     max_depth: float = 80.0,
     min_depth: float = 0.1,
     edge_threshold: float = 1.5,
+    smooth_radius: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lift (K, 2) pixel coords to camera-frame 3D via the disparity map.
 
@@ -51,10 +52,28 @@ def lift_keypoints_to_3d(
     surfaces and systematically biases the 3D-3D fit; keypoints whose 4
     (2px-spaced) neighbors disagree by more than ``edge_threshold`` pixels of
     disparity (or are invalid) are rejected. Returns ((K, 3) points, (K,) valid).
+
+    ``smooth_radius`` r > 0 pre-averages the disparity over a valid-masked
+    (2r+1)^2 box before sampling: a point sample carries the full per-pixel
+    SGM noise into every observation, while the local mean respects a smooth
+    surface (the terrain is near fronto-parallel at nadir) and cuts the
+    z-noise feeding both the link fits and the BA. The edge rejection below
+    still uses the RAW map so discontinuities keep their sharp veto.
     """
     h, w = disparity.shape
     u = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     v = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    raw = disparity
+    if smooth_radius > 0:
+        win = 2 * smooth_radius + 1
+        ok_px = (disparity > 0).astype(jnp.float32)
+        num = jax.lax.reduce_window(disparity * ok_px, 0.0, jax.lax.add,
+                                    (win, win), (1, 1), "SAME")
+        den = jax.lax.reduce_window(ok_px, 0.0, jax.lax.add,
+                                    (win, win), (1, 1), "SAME")
+        smoothed = num / jnp.maximum(den, 1.0)
+        disparity = jnp.where((den > 0) & (disparity > 0), smoothed,
+                              disparity)
     d_nearest = disparity[v, u]
 
     xf = jnp.clip(xy[:, 0], 0.0, w - 1.0)
@@ -74,9 +93,10 @@ def lift_keypoints_to_3d(
 
     on_edge = jnp.zeros(d.shape, dtype=bool)
     if edge_threshold > 0:
+        d_raw = raw[v, u]
         for du, dv in ((2, 0), (-2, 0), (0, 2), (0, -2)):
-            d_nb = disparity[jnp.clip(v + dv, 0, h - 1), jnp.clip(u + du, 0, w - 1)]
-            on_edge |= (jnp.abs(d_nb - d) > edge_threshold) | (d_nb <= 0.0)
+            d_nb = raw[jnp.clip(v + dv, 0, h - 1), jnp.clip(u + du, 0, w - 1)]
+            on_edge |= (jnp.abs(d_nb - d_raw) > edge_threshold) | (d_nb <= 0.0)
     uvd1 = jnp.stack(
         [xy[:, 0], xy[:, 1], d, jnp.ones_like(d)], axis=-1
     ).astype(jnp.float32)
@@ -104,6 +124,7 @@ def extract_frame_features(
         kp.xy, disparity, q,
         max_depth=odo_cfg.max_point_depth,
         edge_threshold=odo_cfg.depth_edge_threshold,
+        smooth_radius=odo_cfg.disparity_smooth_radius,
     )
     return FrameFeatures(keypoints=kp, points3d=pts, valid3d=ok & kp.valid)
 

@@ -76,7 +76,6 @@ def main():
             import jax.numpy as jnp
 
             from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
-            from online_3d_reconstruction_tpu.config import StereoConfig
 
             scfg = StereoConfig(height=h, width=w, max_disparity=d,
                                 num_paths=8, use_pallas=False)
@@ -116,15 +115,18 @@ def main():
             base.ba, obs_weighting=False, huber_delta=0.5),
         "w px0.5 d0.5 (bench)": dataclasses.replace(w, sigma_pixel=0.5,
                                                     sigma_disparity=0.5),
-        "w px0.3 d0.2": dataclasses.replace(w, sigma_pixel=0.3,
-                                            sigma_disparity=0.2),
-        "w px0.5 d0.5 W16": dataclasses.replace(w, sigma_pixel=0.5,
+        "w px0.5 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
+                                            sigma_disparity=1.0),
+        "w px0.7 d0.7": dataclasses.replace(w, sigma_pixel=0.7,
+                                            sigma_disparity=0.7),
+        "w px0.5 d5 (lateral-only)": dataclasses.replace(w, sigma_pixel=0.5,
+                                                         sigma_disparity=5.0),
+        "w px0.5 d0.5 hub2": dataclasses.replace(w, sigma_pixel=0.5,
+                                                 sigma_disparity=0.5,
+                                                 huber_delta=2.0),
+        "w px0.5 d0.5 W12": dataclasses.replace(w, sigma_pixel=0.5,
                                                 sigma_disparity=0.5,
-                                                window=16),
-        "w px0.3 d0.3 W16 L1024": dataclasses.replace(w, sigma_pixel=0.3,
-                                                      sigma_disparity=0.3,
-                                                      window=16,
-                                                      max_landmarks=1024),
+                                                window=12),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)
