@@ -39,6 +39,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_PROXY_FPS = 10.0
 
+
+def _progress(msg: str) -> None:
+    """Stderr-only heartbeat (never touches the stdout JSON contract): with a
+    relay-attached chip a run spends minutes in opaque device waits, and the
+    round-4 postmortem could not tell a slow stage from a wedged tunnel."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
 # the synthetic flight log's declared sensor noise — the estimator is
 # configured with the TRUE information weights (1/sigma^2), as any fielded
 # GPS-aided system would be
@@ -65,6 +76,7 @@ def _kernel_benchmarks() -> dict:
     rng = np.random.default_rng(0)
     out = {}
     on_tpu = jax.default_backend() == "tpu"
+    _progress("kernel microbenches: start")
 
     # Kernel times are amortized over an in-jit scan so the relay's
     # per-dispatch round trip (tens of ms here) doesn't masquerade as kernel
@@ -85,6 +97,7 @@ def _kernel_benchmarks() -> dict:
         )
         out["sgm_aggregation"] = roofline.sgm_aggregation_model(
             h, w, d, 8, sec, itemsize=2).report()
+        _progress("kernel microbenches: sgm_aggregation done")
 
     # descriptor matching matmul
     ka = kb = 512
@@ -96,6 +109,7 @@ def _kernel_benchmarks() -> dict:
         (jnp.float32(0.0), desc_a, desc_b), inner=64,
     )
     out["matching"] = roofline.matching_model(ka, kb, 256, sec).report()
+    _progress("kernel microbenches: matching done")
 
     # BA: dense-Schur GN iterations/s at the sliding-window size ...
     problem, _, _ = make_synthetic_bundle(np.random.default_rng(1), w=8, l=256,
@@ -109,6 +123,7 @@ def _kernel_benchmarks() -> dict:
     rep = roofline.ba_schur_model(8, 256, 2048, gn_iters, sec).report()
     rep["ba_iters_per_s"] = _no_nan(gn_iters / sec)
     out["ba_schur"] = rep
+    _progress("kernel microbenches: ba_schur w8 done")
 
     # ... and at blueprint scale (SURVEY.md:424 "sliding 100-keyframe
     # window"): W=64, L=2048, 512 obs/frame, slot-major accumulation
@@ -125,6 +140,7 @@ def _kernel_benchmarks() -> dict:
     rep = roofline.ba_schur_model(w64, l64, w64 * k64, gn_iters, sec).report()
     rep["ba_iters_per_s"] = _no_nan(gn_iters / sec)
     out["ba_schur_w64"] = rep
+    _progress("kernel microbenches: ba_schur w64 done")
     return out
 
 
@@ -213,10 +229,15 @@ def _run_engine(cfg, rig, frames, n_warmup, n_timed, pre_upload: bool):
     )
 
     engine = OnlineReconstructor(cfg, rig)
-    for f in frames[:n_warmup]:
+    _progress(f"engine run (pre_upload={pre_upload}): warmup "
+              f"{n_warmup} frames")
+    for i, f in enumerate(frames[:n_warmup]):
         engine.process(f)
+        if i % 4 == 3:
+            _progress(f"  warmup frame {i + 1}/{n_warmup} dispatched")
     jax.block_until_ready(engine.gmap.points)
     float(jnp.asarray(engine._staging.cursor))  # forced fetch: true barrier
+    _progress("  warmup complete; timing")
 
     timed = frames[n_warmup:n_warmup + n_timed]
     packed_list = None
@@ -241,6 +262,7 @@ def _run_engine(cfg, rig, frames, n_warmup, n_timed, pre_upload: bool):
     jax.block_until_ready(engine.gmap.points)
     float(jnp.asarray(engine._staging.cursor))
     elapsed = time.perf_counter() - t0
+    _progress(f"  timed {n_timed} frames in {elapsed:.2f}s")
     result = engine.finish(warmup_frames=n_warmup)
     return elapsed, result
 
@@ -253,7 +275,9 @@ def main() -> None:
     backend, (h, w, d), rig, dataset, cfg, n_warmup, n_timed = _make_bench_setup()
 
     # pre-render all frames so host rendering doesn't pollute device timing
+    _progress(f"rendering {len(dataset)} synthetic frames on host")
     frames = [dataset[i] for i in range(len(dataset))]
+    _progress("render done")
     gt = np.stack([f.gt_pose for f in frames])
     priors = np.stack([f.prior_pose for f in frames])
 
@@ -275,6 +299,7 @@ def main() -> None:
     ate_prior_only = ate_rmse(priors, gt)
     cfg_vo = cfg.replace(runtime=dataclasses.replace(
         cfg.runtime, ba_every_keyframe=False))
+    _progress("VO-only ablation run")
     _, res_vo = _run_engine(cfg_vo, rig, frames, n_warmup, n_timed,
                             pre_upload=True)
     ate_vo_only = ate_rmse(res_vo.trajectory, gt)
