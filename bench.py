@@ -200,12 +200,16 @@ def _make_bench_setup():
                             use_pallas=(backend == "tpu")),
         features=FeatureConfig(max_keypoints=512, fast_threshold=5.0),
         odometry=OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0),
-        # honest sigmas: subpixel features + SGM parabola localize to a
-        # fraction of a pixel (tools/ba_bias.py measures ~0.2 px lateral);
-        # the full 3x3 information model (ba/problem.stereo_obs_information)
-        # whitens the ray-coupled anisotropic noise, huber knee at 3 sigma
-        ba=BAConfig(obs_weighting=True, sigma_pixel=0.5, sigma_disparity=0.5,
-                    huber_delta=3.0,
+        # measured-optimal estimator config (tools/ate_lab.py r5 sweeps on
+        # cached real-SGM disparity): W=24 window with landmark capacity
+        # scaled to the track count (L=512 silently dropped most multi-frame
+        # tracks and made W>8 WORSE), sigma_disparity=1.0 absorbing the
+        # frame-correlated SGM bias (tools/sgm_cache_tpu.py: rms 0.27 px but
+        # per-frame mean bias +0.02..+0.12 px), sigma_pixel=0.5 for the
+        # subpixel features, full 3x3 ray-coupled information, huber at 3
+        # sigma. Cached-SGM ATE: 0.47x prior-only (target <= 0.5x).
+        ba=BAConfig(obs_weighting=True, sigma_pixel=0.5, sigma_disparity=1.0,
+                    huber_delta=3.0, window=24, max_landmarks=4096,
                     prior_position_weight=1.0 / PRIOR_T_SIGMA**2,
                     prior_rotation_weight=1.0 / PRIOR_R_SIGMA**2),
         mapping=MappingConfig(voxel_size=0.25, map_capacity=2_000_000,

@@ -31,7 +31,15 @@ class StereoConfig:
     num_paths: int = 4               # 4 = axis-aligned; 8 adds diagonals
     uniqueness_ratio: float = 0.95   # WTA second-best must exceed best/ratio
     lr_max_diff: int = 1             # left-right consistency threshold (px)
-    subpixel: bool = True            # parabola fit around the WTA minimum
+    subpixel: bool = True            # refine around the WTA minimum
+    # subpixel interpolator: "parabola" (cv2 SGBM's quadratic) or "vshape"
+    # (equiangular/linear fit). Census-style costs rise near-linearly around
+    # the true minimum, so the quadratic UNDERSHOOTS the offset — classic
+    # pixel-locking toward the WTA integer. Measured at keypoints on the
+    # bench scene (tools/sgm_cache_tpu.py): parabola mean bias +0.118 px
+    # (frame-correlated, the altitude puts true d ~ 6.67 between integers);
+    # vshape cuts it (see BASELINE.md ATE section).
+    subpixel_fit: str = "vshape"
     speckle_window: int = 50         # max blob size to invalidate (0 = off)
     speckle_range: float = 1.0       # disparity jump that splits a blob
     invalid_value: float = -1.0      # disparity value marking invalid pixels

@@ -175,8 +175,9 @@ def solve_ba_slot_sharded(
             return b, g_p
 
         def step(state, _):
-            poses, landmarks = state
-            cost_before = cost_fn(poses, landmarks)
+            # single cost eval per iteration (matches ba.schur.solve_ba):
+            # the accepted cost rides in the carry
+            poses, landmarks, cost_before = state
             b, c, e, g_p, g_x = acc(
                 poses, landmarks, problem.lm_valid,
                 problem.obs_lm, problem.obs_point,
@@ -192,12 +193,14 @@ def solve_ba_slot_sharded(
             accept = cost_after < cost_before
             poses = jnp.where(accept, new_poses, poses)
             landmarks = jnp.where(accept, new_landmarks, landmarks)
-            return (poses, landmarks), cost_before
+            cost = jnp.where(accept, cost_after, cost_before)
+            return (poses, landmarks, cost), cost_before
 
-        (poses, landmarks), trace = jax.lax.scan(
-            step, (problem.poses, problem.landmarks), None, length=iters
+        cost0 = cost_fn(problem.poses, problem.landmarks)
+        (poses, landmarks, final), trace = jax.lax.scan(
+            step, (problem.poses, problem.landmarks, cost0), None,
+            length=iters
         )
-        final = cost_fn(poses, landmarks)
         return poses, landmarks, jnp.concatenate([trace, final[None]])
 
     return run(problem)
@@ -276,8 +279,8 @@ def solve_ba_sharded(
             return b, g_p
 
         def step(state, _):
-            poses, landmarks = state
-            cost_before = cost_fn(poses, landmarks)
+            # single cost eval per iteration (matches ba.schur.solve_ba)
+            poses, landmarks, cost_before = state
             b, c, e, g_p, g_x = acc(
                 poses, landmarks, problem.lm_valid,
                 problem.obs_kf, problem.obs_lm, problem.obs_point,
@@ -293,12 +296,14 @@ def solve_ba_sharded(
             accept = cost_after < cost_before
             poses = jnp.where(accept, new_poses, poses)
             landmarks = jnp.where(accept, new_landmarks, landmarks)
-            return (poses, landmarks), cost_before
+            cost = jnp.where(accept, cost_after, cost_before)
+            return (poses, landmarks, cost), cost_before
 
-        (poses, landmarks), trace = jax.lax.scan(
-            step, (problem.poses, problem.landmarks), None, length=iters
+        cost0 = cost_fn(problem.poses, problem.landmarks)
+        (poses, landmarks, final), trace = jax.lax.scan(
+            step, (problem.poses, problem.landmarks, cost0), None,
+            length=iters
         )
-        final = cost_fn(poses, landmarks)
         return poses, landmarks, jnp.concatenate([trace, final[None]])
 
     return run(problem)

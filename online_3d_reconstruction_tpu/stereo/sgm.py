@@ -169,12 +169,19 @@ def wta_disparity(
     uniqueness_ratio: float = 0.95,
     subpixel: bool = True,
     d_axis: int = -1,
+    fit: str = "parabola",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Winner-take-all over D with uniqueness gating and parabola subpixel.
+    """Winner-take-all over D with uniqueness gating and subpixel refinement.
 
     ``d_axis`` selects the disparity axis: -1 for the (H, W, D) scan layout,
-    1 for the Pallas kernels' (H, D, W) layout. Returns (disparity (H, W)
-    float32, valid (H, W) bool).
+    1 for the Pallas kernels' (H, D, W) layout. ``fit`` picks the subpixel
+    interpolator: "parabola" (quadratic through the 3 costs around the
+    minimum — what cv2's SGBM uses) or "vshape" (equiangular two-line fit:
+    the true cost profile of census/SAD matching rises ~linearly near the
+    minimum, so the quadratic systematically undershoots the offset and
+    locks estimates toward integer disparities; the V fit assumes equal
+    slopes and is the standard anti-pixel-locking interpolator). Returns
+    (disparity (H, W) float32, valid (H, W) bool).
     """
     d_axis = d_axis % aggregated.ndim
     d = aggregated.shape[d_axis]
@@ -195,8 +202,14 @@ def wta_disparity(
                       axis=d_axis).astype(jnp.float32)
         c_p = jnp.min(jnp.where(off == 1, aggregated, _BIG),
                       axis=d_axis).astype(jnp.float32)
-        denom = c_m + c_p - 2.0 * best
-        offset = jnp.where(denom > 1e-6, (c_m - c_p) / (2.0 * denom), 0.0)
+        if fit == "vshape":
+            # equiangular: two lines of equal |slope| cross at the minimum;
+            # offset = (c_m - c_p) / (2 (max(c_m, c_p) - best))
+            denom = jnp.maximum(c_m, c_p) - best
+            offset = jnp.where(denom > 1e-6, (c_m - c_p) / (2.0 * denom), 0.0)
+        else:
+            denom = c_m + c_p - 2.0 * best
+            offset = jnp.where(denom > 1e-6, (c_m - c_p) / (2.0 * denom), 0.0)
         offset = jnp.clip(offset, -0.5, 0.5)
         interior = (best_idx > 0) & (best_idx < d - 1)
         disp = disp + jnp.where(interior, offset, 0.0)
@@ -388,7 +401,8 @@ def sgm_disparity(left: jnp.ndarray, right: jnp.ndarray, config: StereoConfig,
         d_axis = -1
 
     disp, valid = wta_disparity(aggregated, config.uniqueness_ratio,
-                                config.subpixel, d_axis=d_axis)
+                                config.subpixel, d_axis=d_axis,
+                                fit=config.subpixel_fit)
     if config.lr_max_diff >= 0:
         disp_r = (right_disparity_dl(aggregated) if d_axis == 1
                   else right_disparity_from_aggregated(aggregated))

@@ -110,23 +110,35 @@ def main():
     )
 
     w = dataclasses.replace(base.ba, obs_weighting=True, huber_delta=3.0)
+    # r5 sweep: tools/sgm_cache_tpu.py measured the REAL keypoint-level SGM
+    # disparity error at rms 0.266 px (frame-mean bias +0.04..+0.16 px) and
+    # ba_bias measured subpixel keypoint localization ~0.2 px — the bench's
+    # (0.5, 0.5) constants are ~2x conservative, diluting the visual terms
+    # against the GPS priors
+    # max_landmarks=512 saturates a multi-frame window over 512 keypoints
+    # (far more than 512 multi-obs tracks live in it), so build_problem
+    # silently DROPS observations — measured cause of larger windows
+    # making ATE WORSE until L scales with W
     variants = {
-        "unweighted (r2 behavior)": dataclasses.replace(
-            base.ba, obs_weighting=False, huber_delta=0.5),
-        "w px0.5 d0.5 (bench)": dataclasses.replace(w, sigma_pixel=0.5,
-                                                    sigma_disparity=0.5),
-        "w px0.5 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
-                                            sigma_disparity=1.0),
-        "w px0.7 d0.7": dataclasses.replace(w, sigma_pixel=0.7,
-                                            sigma_disparity=0.7),
-        "w px0.5 d5 (lateral-only)": dataclasses.replace(w, sigma_pixel=0.5,
-                                                         sigma_disparity=5.0),
-        "w px0.5 d0.5 hub2": dataclasses.replace(w, sigma_pixel=0.5,
-                                                 sigma_disparity=0.5,
-                                                 huber_delta=2.0),
-        "w px0.5 d0.5 W12": dataclasses.replace(w, sigma_pixel=0.5,
-                                                sigma_disparity=0.5,
-                                                window=12),
+        "w bench W8 L512": dataclasses.replace(w, sigma_pixel=0.5,
+                                               sigma_disparity=0.5),
+        "w W16 L2048": dataclasses.replace(w, sigma_pixel=0.5,
+                                           sigma_disparity=0.5,
+                                           window=16, max_landmarks=2048),
+        "w W24 L4096": dataclasses.replace(w, sigma_pixel=0.5,
+                                           sigma_disparity=0.5,
+                                           window=24, max_landmarks=4096),
+        "w W24 L4096 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=1.0,
+                                                window=24,
+                                                max_landmarks=4096),
+        "w W24 L4096 d1.5": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=1.5,
+                                                window=24,
+                                                max_landmarks=4096),
+        "w W32 L4096": dataclasses.replace(w, sigma_pixel=0.5,
+                                           sigma_disparity=0.5,
+                                           window=32, max_landmarks=4096),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)

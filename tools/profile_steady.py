@@ -1,5 +1,15 @@
-"""Amortized timing of every piece of the steady-state frame dispatch on the
-real TPU: unpack+rectify, SGM, features, tracking, BA keyframe core, fusion.
+"""Whole-dispatch device timing of the bench's steady-state frame programs.
+
+Closes the attribution gap tools/profile_frame_parts.py leaves: that tool
+times the pipeline stages in isolation (sum ~10.7 ms) while the bench frame
+period is ~21 ms. This times the ACTUAL fused per-frame programs the bench
+dispatches (_steady_step and _steady_step_kf at the exact bench config,
+donated buffers replaced per call) plus the remaining small pieces (unpack,
+color remap, map insert, the amortized flush_staging) so
+
+    frame_period_device_resident  =  fused program + relay dispatch tax
+
+becomes an identity made of measured terms.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_steady.py
 """
@@ -11,134 +21,181 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from online_3d_reconstruction_tpu.ba.device_tracks import (
-    build_problem,
-    create_window,
-    keyframe_core,
+from online_3d_reconstruction_tpu.ba.device_tracks import build_problem
+from online_3d_reconstruction_tpu.ba.problem import StereoNoiseModel
+from online_3d_reconstruction_tpu.ba.schur import solve_ba
+from online_3d_reconstruction_tpu.geometry.backproject import PointCloud
+from online_3d_reconstruction_tpu.mapping.global_map import (
+    create_map,
+    flush_staging,
+    insert_cloud,
 )
-from online_3d_reconstruction_tpu.config import (
-    BAConfig, FeatureConfig, MappingConfig, MatchConfig, OdometryConfig,
-    StereoConfig)
-from online_3d_reconstruction_tpu.features.brief import (
-    describe_keypoints,
-    detect_and_describe,
+from online_3d_reconstruction_tpu.runtime.pipeline import (
+    _steady_step,
+    _steady_step_kf,
+    unpack_frame,
 )
-from online_3d_reconstruction_tpu.features.fast import detect_keypoints
-from online_3d_reconstruction_tpu.features.match import match_descriptors
-from online_3d_reconstruction_tpu.geometry.backproject import backproject_disparity
-from online_3d_reconstruction_tpu.io.calibration import identity_rig
-from online_3d_reconstruction_tpu.io.synthetic import (
-    Plateau, SyntheticScene, nadir_pose)
-from online_3d_reconstruction_tpu.mapping.global_map import create_map, insert_cloud
-from online_3d_reconstruction_tpu.odometry.frontend import (
-    extract_frame_features, tracking_step)
-from online_3d_reconstruction_tpu.stereo.rectify import rectify_pair
-from online_3d_reconstruction_tpu.stereo.sgm import sgm_disparity
 from online_3d_reconstruction_tpu.utils.roofline import measure_amortized
 
 
-def t(label, fn, args, inner=8):
-    sec = measure_amortized(fn, args, inner=inner)
-    print(f"{label}: {sec*1e3:.3f} ms", flush=True)
-    return sec
+def bench_setup():
+    import bench
+
+    backend, hwd, rig, dataset, cfg, n_warmup, n_timed = bench._make_bench_setup()
+    return hwd, rig, dataset, cfg
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    h, w, d = 384, 512, 64
-    rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
-                       width=w, height=h)
-    scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)])
-    fr = scene.render_stereo(nadir_pose(0, 0, 30.0), rig)
-    q = jnp.asarray(rig.q, dtype=jnp.float32)
-    map_l = jnp.asarray(rig.map_left)
-    map_r = jnp.asarray(rig.map_right)
+    (h, w, d), rig, dataset, cfg = bench_setup()
+    frames = [dataset[i] for i in range(14)]
+    print("rendered", flush=True)
 
-    stereo = StereoConfig(height=h, width=w, max_disparity=d, num_paths=8,
-                          use_pallas=True)
-    feat = FeatureConfig(max_keypoints=512, fast_threshold=5.0)
-    odo = OdometryConfig(ransac_threshold=0.5, max_point_depth=60.0)
-    match_cfg = MatchConfig()
-    mapping = MappingConfig(voxel_size=0.25, frame_point_stride=2,
-                            min_depth=1.0, max_depth=60.0)
-    ba_cfg = BAConfig(prior_position_weight=1 / 0.15**2,
-                      prior_rotation_weight=1e4)
+    from online_3d_reconstruction_tpu.runtime.pipeline import OnlineReconstructor
 
-    left = jnp.asarray(fr.left)
-    right = jnp.asarray(fr.right)
+    engine = OnlineReconstructor(cfg, rig)
+    for f in frames[:12]:
+        engine.process(f)
+    jax.block_until_ready(engine.gmap.points)
+    print("warm engine ready", flush=True)
 
-    t("rectify_pair", lambda eps, l: rectify_pair(l + eps, right, map_l, map_r),
-      (jnp.float32(0.0), left))
-    t("sgm_disparity 8p", lambda eps, l: sgm_disparity(l + eps, right, stereo)[0],
-      (jnp.float32(0.0), left))
+    kf = engine.keyframes[-1]
+    packed_np = engine.pack(frames[12], frame_index=12)
+    packed = jax.device_put(packed_np)
+    maps = (engine.map_left, engine.map_right, engine.q)
+    scfg, fcfg, ocfg, mcfg, xcfg = (cfg.stereo, cfg.features, cfg.odometry,
+                                    cfg.mapping, cfg.matching)
 
-    disp, _ = sgm_disparity(left, right, stereo)
+    rows = []
 
-    kw = dict(max_keypoints=feat.max_keypoints,
-              threshold=feat.fast_threshold / 255.0, arc=feat.fast_arc,
-              nms_radius=feat.nms_radius, border=feat.border,
-              grid_tiles=feat.grid_tiles)
-    t("detect_keypoints (FAST+topk)",
-      lambda eps, l: detect_keypoints(l + eps, **kw),
-      (jnp.float32(0.0), left))
-    xy, score, kvalid = detect_keypoints(left, **kw)
-    t("describe_keypoints (BRIEF)",
-      lambda eps, l: describe_keypoints(l + eps, xy, score, kvalid, feat),
-      (jnp.float32(0.0), left))
-    t("detect_and_describe",
-      lambda eps, l: detect_and_describe(l + eps, feat),
-      (jnp.float32(0.0), left))
-    t("extract_frame_features (all)",
-      lambda eps, l: extract_frame_features(l + eps, disp, q, feat, odo),
-      (jnp.float32(0.0), left))
+    def report(name, sec):
+        rows.append((name, sec))
+        print(f"{name:46s} {sec * 1e3:8.3f} ms", flush=True)
 
-    feats = extract_frame_features(left, disp, q, feat, odo)
-    t("match_descriptors",
-      lambda eps: match_descriptors(feats.keypoints.descriptors,
-                                    feats.keypoints.descriptors,
-                                    feats.valid3d & (eps < 1e9), feats.valid3d),
-      (jnp.float32(0.0),))
+    # donated args must be fresh per call inside the amortized scan: pass the
+    # map/window through the scan carry instead — measure_amortized only
+    # perturbs the first f32 arg, so wrap with explicit copies via jnp.add.
+    staging_shape = engine._staging
+    ba_shape = engine._ba_state
 
-    key = jax.random.PRNGKey(0)
-    eye = jnp.eye(4)
-    t("tracking_step (match+RANSAC+IRLS)",
-      lambda eps: tracking_step(feats, feats, eye, eye, eye + eps * 0,
-                                key, jnp.int32(1), match_cfg, odo),
-      (jnp.float32(0.0),))
+    def steady(eps, pk):
+        gmap = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool
+            else x, staging_shape)
+        out = _steady_step(gmap, pk, *maps, kf.features, kf.pose,
+                           kf.prior_pose, engine._key,
+                           scfg, fcfg, ocfg, mcfg, xcfg,
+                           True, False, engine._skip_rectify, engine._bands)
+        return out[1], out[4], out[5]
 
-    t("backproject_disparity",
-      lambda eps, dd: backproject_disparity(dd + eps, left, q, stride=2,
-                                            min_depth=1.0, max_depth=60.0),
-      (jnp.float32(0.0), disp))
-    cloud = backproject_disparity(disp, left, q, stride=2, min_depth=1.0,
-                                  max_depth=60.0)
+    def steady_kf(eps, pk):
+        gmap = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool
+            else x, staging_shape)
+        ba = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool
+            else x, ba_shape)
+        out = _steady_step_kf(gmap, ba, pk, *maps, kf.features, kf.pose,
+                              kf.prior_pose, engine._key,
+                              scfg, fcfg, ocfg, mcfg, xcfg, cfg.ba,
+                              True, False, engine._skip_rectify,
+                              engine._noise_model, engine._bands)
+        return out[1], out[4], out[5]
 
-    gmap = create_map(8 * 49152)
-    t("insert_cloud (staging append)",
-      lambda eps: insert_cloud(gmap, cloud._replace(
-          points=cloud.points + eps)),
-      (jnp.float32(0.0),))
+    pk_f = packed.astype(jnp.float32)  # perturbable copy source
 
-    # BA keyframe core: append + track build + dense Schur solve
-    state = create_window(ba_cfg.window, feat.max_keypoints)
-    for i in range(ba_cfg.window):
-        state, _, _ = keyframe_core(
-            state, feats.points3d, feats.valid3d,
-            jnp.arange(feat.max_keypoints, dtype=jnp.int32),
-            feats.valid3d, eye, eye, ba_cfg)
-    t("ba keyframe_core (full window)",
-      lambda eps: keyframe_core(state, feats.points3d + eps, feats.valid3d,
-                                jnp.arange(feat.max_keypoints, dtype=jnp.int32),
-                                feats.valid3d, eye, eye, ba_cfg)[1],
-      (jnp.float32(0.0),), inner=6)
-    t("ba build_problem only",
-      lambda eps: build_problem(state._replace(
-          points3d=state.points3d + eps), ba_cfg.max_landmarks)[0].landmarks,
-      (jnp.float32(0.0),), inner=6)
+    sec = measure_amortized(
+        lambda eps, p: steady(eps, (p + eps).astype(jnp.uint8)),
+        (jnp.float32(0.0), pk_f), inner=8)
+    report("FUSED _steady_step (non-kf frame)", sec)
+
+    sec = measure_amortized(
+        lambda eps, p: steady_kf(eps, (p + eps).astype(jnp.uint8)),
+        (jnp.float32(0.0), pk_f), inner=8)
+    report("FUSED _steady_step_kf (keyframe frame)", sec)
+
+    # pieces not covered by profile_frame_parts
+    sec = measure_amortized(
+        lambda eps, p: unpack_frame((p + eps).astype(jnp.uint8), h, w,
+                                    mcfg.frame_point_stride,
+                                    scfg.invalid_value, False),
+        (jnp.float32(0.0), pk_f), inner=16)
+    report("unpack_frame (u8 planes -> f32)", sec)
+
+    n_pts = engine._frame_points
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(0, 5, (n_pts, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((n_pts, 3)).astype(np.float32))
+    ok = jnp.asarray(np.ones(n_pts, bool))
+
+    def ins(eps, p):
+        gmap = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool else x,
+            staging_shape)
+        return insert_cloud(gmap, PointCloud(p + eps, cols, ok)).cursor
+
+    sec = measure_amortized(ins, (jnp.float32(0.0), pts), inner=16)
+    report("insert_cloud (staging pool)", sec)
+
+    def flush(eps, p):
+        gmap = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool else x,
+            engine.gmap)
+        stag = jax.tree.map(
+            lambda x: x + jnp.zeros((), x.dtype) if x.dtype != bool else x,
+            staging_shape)
+        stag = stag._replace(points=stag.points + eps)
+        g2, s2 = flush_staging(gmap, stag, mcfg.voxel_size, mcfg.bounds)
+        return g2.cursor
+
+    sec = measure_amortized(flush, (jnp.float32(0.0), pts), inner=4,
+                            max_inner=16)
+    ds_every = mcfg.downsample_every
+    report(f"flush_staging (amortize /{ds_every} frames)", sec)
+
+    # BA pieces at the window size the product runs (W=8)
+    state = ba_shape
+    nm = engine._noise_model
+
+    def build(eps, p3d):
+        st = state._replace(points3d=state.points3d + eps)
+        problem, _ = build_problem(st, cfg.ba.max_landmarks, nm)
+        return problem.landmarks, problem.obs_valid
+
+    sec = measure_amortized(build, (jnp.float32(0.0), state.points3d),
+                            inner=8)
+    report("  ba build_problem (W=8, tracks+info)", sec)
+
+    problem, _ = build_problem(state, cfg.ba.max_landmarks, nm)
+
+    sec = measure_amortized(
+        lambda eps, p: solve_ba(
+            p._replace(obs_point=p.obs_point + eps), iters=cfg.ba.gn_iters,
+            damping=cfg.ba.damping, huber_delta=cfg.ba.huber_delta,
+            anchor_first=False,
+            prior_position_weight=cfg.ba.prior_position_weight,
+            prior_rotation_weight=cfg.ba.prior_rotation_weight,
+            slot_major=fcfg.max_keypoints),
+        (jnp.float32(0.0), problem), inner=8)
+    report("  ba solve_ba (W=8 slot-major, 5 it)", sec)
+
+    # relay chained-dispatch tax: time N back-to-back real dispatches of the
+    # fused program from the host (the bench's actual loop structure)
+    out = steady(0.0, packed)
+    jax.block_until_ready(out)
+    n = 20
+    t0 = time.perf_counter()
+    outs = [steady(0.0, packed) for _ in range(n)]
+    jax.block_until_ready(outs)
+    wall = (time.perf_counter() - t0) / n
+    print(f"{'host-loop wall per fused dispatch':46s} {wall * 1e3:8.3f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
