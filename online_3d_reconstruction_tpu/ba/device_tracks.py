@@ -191,7 +191,12 @@ def build_problem(state: WindowState, max_landmarks: int,
              + state.poses[:, None, :3, 3]).reshape(n, 3)
     onehot = ((lm_flat[:, None] == jnp.arange(l_cap, dtype=jnp.int32)[None, :])
               & obs_valid[:, None]).astype(jnp.float32)   # (N, L)
-    lm_sum = onehot.T @ world                             # (L, 3) on the MXU
+    # HIGHEST here too: this matmul accumulates ~30-60 m world coordinates,
+    # and the TPU default (bf16) quantizes them to ~0.25 m — the same class
+    # of silent on-chip-only bug as the r4 normal-equation einsums and the
+    # r5 rigid_transform products
+    lm_sum = jnp.matmul(onehot.T, world,
+                        precision=jax.lax.Precision.HIGHEST)  # (L, 3), MXU
     lm_cnt = jnp.sum(onehot, axis=0)
     lm_valid = lm_cnt > 0
     lm_init = lm_sum / jnp.maximum(lm_cnt, 1.0)[:, None]

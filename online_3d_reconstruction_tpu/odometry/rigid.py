@@ -39,10 +39,18 @@ def rigid_transform(src: jnp.ndarray, dst: jnp.ndarray,
     cov = jnp.einsum("ni,nj->ij", src_c * wn, dst_c,
                      precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(vt.T @ u.T)
+    # HIGHEST precision on every product: these 3x3 matmuls ran at the TPU
+    # default (bf16) for four rounds — a 2^-8 relative rotation error is
+    # ~4e-3 rad, which the planar-scene tilt degeneracy converts to ~0.1 m
+    # of lateral link error at 30 m altitude (measured: the identical
+    # pipeline on identical cached inputs scored full-stack ATE 0.47x
+    # prior on CPU but 0.54x on TPU before this fix)
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda x, y: jnp.matmul(x, y, precision=hi)
+    det = jnp.linalg.det(mm(vt.T, u.T))
     d_fix = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(jnp.sign(det))
-    rot = vt.T @ d_fix @ u.T
-    t = centroid_d - rot @ centroid_s
+    rot = mm(mm(vt.T, d_fix), u.T)
+    t = centroid_d - mm(rot, centroid_s[:, None])[:, 0]
     return se3.from_rt(rot.astype(jnp.float32), t.astype(jnp.float32))
 
 

@@ -15,11 +15,14 @@ import argparse
 import dataclasses
 import sys
 
+import os
+
 import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("O3R_ATELAB_TPU", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 from online_3d_reconstruction_tpu.config import (  # noqa: E402
     BAConfig, FeatureConfig, MappingConfig, OdometryConfig, PipelineConfig,
@@ -54,17 +57,38 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--ss", type=int, default=2,
                     help="render supersampling (2 = bench's AA camera model)")
+    ap.add_argument("--distorted", action="store_true",
+                    help="use the BENCH rig (raw distorted render + "
+                         "in-pipeline rectification) instead of the "
+                         "identity rig — isolates the rectification "
+                         "chain's ATE cost")
     args = ap.parse_args()
 
     h, w, d = 384, 512, 64
-    rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2, baseline=0.5,
-                       width=w, height=h)
+    calib = None
+    if args.distorted:
+        from online_3d_reconstruction_tpu.io.calibration import (
+            CameraIntrinsics,
+            StereoCalibration,
+            stereo_rectify,
+        )
+
+        cam = CameraIntrinsics(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2,
+                               width=w, height=h,
+                               dist=(-0.08, 0.01, 3e-4, -3e-4, 0.0))
+        calib = StereoCalibration(left=cam, right=cam,
+                                  translation=np.array([-0.5, 0.0, 0.0]))
+        rig = stereo_rectify(calib)
+    else:
+        rig = identity_rig(fx=400.0, fy=400.0, cx=w / 2, cy=h / 2,
+                           baseline=0.5, width=w, height=h)
     scene = SyntheticScene(seed=5, plateaus=[Plateau(-6.0, 6.0, -4.0, 8.0, 8.0)],
                            supersample=args.ss)
     poses = make_survey_trajectory(args.frames, altitude=30.0, speed=1.2)
     dataset = SyntheticSequence(scene=scene, rig=rig, poses=poses,
                                 prior_translation_sigma=PRIOR_T_SIGMA,
-                                prior_rotation_sigma=PRIOR_R_SIGMA)
+                                prior_rotation_sigma=PRIOR_R_SIGMA,
+                                calib=calib)
     frames = [dataset[i] for i in range(len(dataset))]
     if args.sgm_cache:
         import os

@@ -39,8 +39,16 @@ from online_3d_reconstruction_tpu.utils.roofline import measure_amortized
 
 
 def main():
-    print("backend:", jax.default_backend(), flush=True)
-    w64, l64, k64 = 64, 2048, 512
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--w", type=int, default=64)
+    ap.add_argument("--l", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=512)
+    args = ap.parse_args()
+    print("backend:", jax.default_backend(),
+          f"W={args.w} L={args.l} K={args.k}", flush=True)
+    w64, l64, k64 = args.w, args.l, args.k
     problem, _, _ = make_synthetic_bundle(
         np.random.default_rng(2), w=w64, l=l64, obs_noise=0.02,
         n_cap=w64 * k64, obs_per_kf=k64)
@@ -86,13 +94,15 @@ def main():
 
     b, c, e, gp, gx = blocks
 
+    from online_3d_reconstruction_tpu.ba.schur import inv3x3
+
     sec = measure_amortized(
-        lambda eps, cc: jnp.linalg.inv(
+        lambda eps, cc: inv3x3(
             cc + eps + 1e-4 * jnp.eye(3, dtype=jnp.float32)[None]),
         (jnp.float32(0.0), c), inner=16)
-    report("  C^-1 (2048 batched 3x3 inv)", sec)
+    report(f"  C^-1 ({l64} adjugate 3x3 inv)", sec)
 
-    c_inv = jnp.linalg.inv(c + 1e-4 * jnp.eye(3, dtype=jnp.float32)[None])
+    c_inv = inv3x3(c + 1e-4 * jnp.eye(3, dtype=jnp.float32)[None])
     hi = jax.lax.Precision.HIGHEST
 
     sec = measure_amortized(
@@ -136,6 +146,27 @@ def main():
                                 slot_major=k64),
         (jnp.float32(0.0), problem), inner=4, max_inner=32)
     report("solve_ba 5 iters (the bench kernel)", sec)
+
+    # the pipeline's actual solve shape: full 3x3 obs information + priors
+    from online_3d_reconstruction_tpu.ba.problem import (
+        StereoNoiseModel,
+        stereo_obs_information,
+    )
+
+    nm = StereoNoiseModel(fx=400.0, fy=400.0, baseline=0.5, sigma_px=0.5,
+                          sigma_disparity=1.0)
+    pw = problem._replace(
+        obs_weight=stereo_obs_information(problem.obs_point, nm),
+        priors=problem.poses, prior_valid=jnp.ones(w64, bool))
+    sec = measure_amortized(
+        lambda eps, p: solve_ba(p._replace(obs_point=p.obs_point + eps),
+                                iters=5, damping=1e-4, huber_delta=3.0,
+                                anchor_first=False,
+                                prior_position_weight=44.4,
+                                prior_rotation_weight=1e4,
+                                slot_major=k64),
+        (jnp.float32(0.0), pw), inner=4, max_inner=32)
+    report("solve_ba 5 it (3x3 info + priors, in-situ)", sec)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,11 @@ def main():
                          "pipeline's banded rectification before SGM — "
                          "isolates what the rectification chain costs vs "
                          "the identity-rig numbers")
+    ap.add_argument("--u8", action="store_true",
+                    help="quantize the raw views to uint8 first (the "
+                         "pipeline's pack_frame wire format) — the bench's "
+                         "SGM sees 1/255-quantized pixels; the f32 caches "
+                         "do not")
     args = ap.parse_args()
 
     h, w, d = 384, 512, 64
@@ -100,8 +105,13 @@ def main():
         f = dataset[i]
         t_render += time.perf_counter() - t0
         t0 = time.perf_counter()
-        left = jnp.asarray(f.left)
-        right = jnp.asarray(f.right)
+        left_np, right_np = f.left, f.right
+        if args.u8:
+            q8 = lambda x: np.clip(x * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            left_np = q8(left_np).astype(np.float32) / 255.0
+            right_np = q8(right_np).astype(np.float32) / 255.0
+        left = jnp.asarray(left_np)
+        right = jnp.asarray(right_np)
         if rectify is not None:
             left, right = rectify(left, right)
         dd, _ = sgm_disparity(left, right, scfg)
