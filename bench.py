@@ -208,13 +208,19 @@ def _make_bench_setup():
         # per-frame mean bias +0.02..+0.12 px), sigma_pixel=0.5 for the
         # subpixel features, full 3x3 ray-coupled information, huber at 3
         # sigma. Cached-SGM ATE: 0.47x prior-only (target <= 0.5x).
+        # L=2048 and gn_iters=3 are ATE-IDENTICAL to L=4096/gn5 at W=24 on
+        # the cached-SGM sweeps (0.47x all three) at ~40% of the solve cost
         ba=BAConfig(obs_weighting=True, sigma_pixel=0.5, sigma_disparity=1.0,
-                    huber_delta=3.0, window=24, max_landmarks=4096,
+                    huber_delta=3.0, window=24, max_landmarks=2048,
+                    gn_iters=3,
                     prior_position_weight=1.0 / PRIOR_T_SIGMA**2,
                     prior_rotation_weight=1.0 / PRIOR_R_SIGMA**2),
+        # color at stride 4 (points at 2): color is ~27% of the upload and
+        # purely cosmetic after voxel averaging; the relay wire's ~20-25 MB/s
+        # caps the streamed rate at BW/frame_bytes, so fewer bytes = fps
         mapping=MappingConfig(voxel_size=0.25, map_capacity=2_000_000,
-                              frame_point_stride=2, min_depth=1.0,
-                              max_depth=60.0),
+                              frame_point_stride=2, color_stride=4,
+                              min_depth=1.0, max_depth=60.0),
         runtime=RuntimeConfig(keyframe_translation=0.5, sync_metrics=False),
     )
     return backend, (h, w, d), rig, dataset, cfg, n_warmup, n_timed
@@ -317,7 +323,8 @@ def main() -> None:
     kernels = _kernel_benchmarks()
 
     from online_3d_reconstruction_tpu.runtime.pipeline import pack_frame
-    cs = cfg.mapping.frame_point_stride
+    from online_3d_reconstruction_tpu.runtime.pipeline import _color_stride
+    cs = _color_stride(cfg.mapping)
     t0 = time.perf_counter()
     for f in frames[n_warmup:n_warmup + n_timed]:
         pack_frame(f, color_stride=cs)

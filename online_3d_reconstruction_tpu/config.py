@@ -163,6 +163,13 @@ class MappingConfig:
     voxel_size: float = 0.25         # leaf size (metres)
     map_capacity: int = 2_000_000    # static global voxel-point capacity
     frame_point_stride: int = 2      # pixel subsample stride ("jump pixels")
+    # color plane stride (0 = frame_point_stride). Color is cosmetic — the
+    # voxel filter averages it over >= 4-point leaves anyway — while the
+    # packed color plane is ~27% of the per-frame host->device upload; a
+    # coarser color stride (must be a multiple of frame_point_stride) buys
+    # wire bandwidth on links where the upload bounds the streamed rate
+    # (BASELINE.md: the relay wire caps streamed fps at ~BW/frame_bytes).
+    color_stride: int = 0
     fuse_every: int = 1              # fuse every k-th frame's cloud
     downsample_every: int = 8        # re-voxelize the global pool every k frames
     min_depth: float = 0.5           # Z culling band for backprojected points

@@ -73,11 +73,16 @@ def match_descriptors(
     """
     dist = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
 
-    # top-2 along the train axis for the ratio test
-    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)
-    best = -neg_top2[:, 0]
-    second = -neg_top2[:, 1]
-    best_idx = idx_top2[:, 0]
+    # top-2 along the train axis for the ratio test — as min/argmin/masked-min
+    # passes, NOT lax.top_k: top_k lowers to a per-row sort that measured
+    # 84 us alone at 512x512 on v5e (tools/profile_match.py) while every
+    # other piece of this kernel (unpack, MXU matmul, argmin) sits below the
+    # measurement noise floor; three fused reductions cost ~bandwidth only
+    best = jnp.min(dist, axis=1)
+    best_idx = jnp.argmin(dist, axis=1)
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+    second = jnp.min(jnp.where(cols[None, :] == best_idx[:, None], _INF, dist),
+                     axis=1)
 
     ok = valid_a & (best <= max_hamming) & (best < ratio * second)
     if cross_check:

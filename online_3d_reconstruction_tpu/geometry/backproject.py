@@ -60,6 +60,7 @@ def backproject_disparity(
     max_depth: float = jnp.inf,
     invalid_value: float = -1.0,
     color_prestrided: bool = False,
+    color_substride: int = 1,
 ) -> PointCloud:
     """Backproject a (H, W) disparity map to a masked point cloud.
 
@@ -68,6 +69,10 @@ def backproject_disparity(
     color_prestrided: the color plane is already on the strided output grid
     (ceil(H/stride), ceil(W/stride)) — the online loop ships color at the
     cloud stride to cut host->device wire bytes (pipeline.pack_frame).
+    color_substride s > 1: the prestrided color plane is s x coarser than
+    the point grid (stride * s pixels); each color serves an s x s block of
+    points via a static repeat — a pure wire-bytes/visual-fidelity trade
+    (MappingConfig.color_stride).
     """
     h, w = disparity.shape
     disp = disparity[::stride, ::stride]
@@ -96,6 +101,9 @@ def backproject_disparity(
     if color.ndim == 2:
         color = color[..., None].repeat(3, axis=-1)
     if color_prestrided:
+        if color_substride > 1:
+            color = jnp.repeat(jnp.repeat(color, color_substride, axis=0),
+                               color_substride, axis=1)
         col = color[:hh, :ww, :3].astype(jnp.float32)
     else:
         col = color[::stride, ::stride, :3].astype(jnp.float32)

@@ -189,10 +189,17 @@ def _odometry_core(curr, prev, prior_rel, key, match_cfg, odo_cfg):
     # metres at survey altitude; one bad link merges two physical points into
     # one landmark and poisons every pose observing it (measured: track
     # residual RMS 1.4 m lateral vs ~4 cm for the RANSAC-consistent subset).
-    # Gate the exported match validity on geometric consistency whenever the
-    # rigid fit succeeded; on fallback keep the raw matches (no geometry to
-    # gate with).
-    ba_valid = jnp.where(used_vo, matches.valid & inlier_mask, matches.valid)
+    # Gate the exported match validity on geometric consistency — and when
+    # the rigid fit FAILS, export no links at all. r4 kept the raw matches on
+    # fallback ("no geometry to gate with"), which poisoned the whitened
+    # window BA: at a survey-row turn the matcher returns hundreds of
+    # appearance matches with metre-scale geometric error (RANSAC finds ~0
+    # inliers), and with 1/sigma_px^2 lateral weights each surviving wrong
+    # link out-votes a GPS prior — measured on the 12-frame turn scene:
+    # full-stack ATE 3.4 m (14x prior) with raw fallback links vs 0.2 m
+    # with the links dropped. A VO-failed frame restarts its track chains;
+    # its pose is still anchored by the flight-log prior terms.
+    ba_valid = matches.valid & inlier_mask & used_vo
     matches = matches._replace(valid=ba_valid)
     return rel, used_vo, count, matches
 

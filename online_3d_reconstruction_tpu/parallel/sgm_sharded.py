@@ -110,7 +110,8 @@ def sharded_disparity(
             disp_r_fn = right_disparity_from_aggregated
 
         disp, valid = wta_disparity(agg, config.uniqueness_ratio,
-                                    config.subpixel, d_axis=d_axis)
+                                    config.subpixel, d_axis=d_axis,
+                                    fit=config.subpixel_fit)
         if config.lr_max_diff >= 0:
             disp_r = disp_r_fn(agg)
             valid = valid & lr_consistency_mask_volume(

@@ -135,6 +135,19 @@ def _color_grid(h: int, w: int, stride: int) -> Tuple[int, int]:
     return -(-h // stride), -(-w // stride)
 
 
+def _color_stride(map_cfg) -> int:
+    """Effective color-plane stride (MappingConfig.color_stride, 0 = the
+    point stride); must be a multiple of frame_point_stride so each color
+    texel serves a whole block of points."""
+    cs = max(int(map_cfg.frame_point_stride), 1)
+    cc = int(map_cfg.color_stride) or cs
+    if cc % cs:
+        raise ValueError(
+            f"mapping.color_stride ({cc}) must be a multiple of "
+            f"frame_point_stride ({cs})")
+    return cc
+
+
 def unpack_frame(packed, h: int, w: int, color_stride: int,
                  invalid_value: float, precomputed_disp: bool):
     """Device-side inverse of ``pack_frame``.
@@ -185,8 +198,9 @@ def _packed_frame_body(packed, map_left, map_right, q,
     (static (left, right, color)): banded-MXU remap band heights, 0 = gather.
     """
     cs = map_cfg.frame_point_stride
+    cc = _color_stride(map_cfg)
     prior, frame_idx, left, right, color, disp = unpack_frame(
-        packed, stereo_cfg.height, stereo_cfg.width, cs,
+        packed, stereo_cfg.height, stereo_cfg.width, cc,
         stereo_cfg.invalid_value, precomputed_disp)
 
     if skip_rectify:
@@ -194,9 +208,9 @@ def _packed_frame_body(packed, map_left, map_right, q,
     else:
         left_r, right_r = rectify_pair(left, right, map_left, map_right,
                                        band_left=bands[0], band_right=bands[1])
-        # color travels at the cloud stride: remap it on the strided output
-        # grid, with source coords scaled into the subsampled plane
-        color_map = map_left[::cs, ::cs] / float(cs)
+        # color travels at its own (coarser) stride: remap it on the strided
+        # output grid, with source coords scaled into the subsampled plane
+        color_map = map_left[::cc, ::cc] / float(cc)
         if bands[2] > 0:
             color_r = remap_bilinear_banded(color, color_map, bands[2])
         else:
@@ -211,6 +225,7 @@ def _packed_frame_body(packed, map_left, map_right, q,
         max_depth=map_cfg.max_depth,
         invalid_value=stereo_cfg.invalid_value,
         color_prestrided=True,
+        color_substride=cc // cs,
     )
     return prior, frame_idx, feats, cloud
 
@@ -368,10 +383,10 @@ class OnlineReconstructor:
         if not self._skip_rectify:
             from online_3d_reconstruction_tpu.stereo.rectify import vertical_band
 
-            cs = max(int(config.mapping.frame_point_stride), 1)
+            cc = _color_stride(config.mapping)
             bl = vertical_band(np.asarray(rig.map_left))
             br = vertical_band(np.asarray(rig.map_right))
-            bc = vertical_band(np.asarray(rig.map_left)[::cs, ::cs] / cs)
+            bc = vertical_band(np.asarray(rig.map_left)[::cc, ::cc] / cc)
             cap = mh // 4
             self._bands = tuple(b if b <= cap else 0 for b in (bl, br, bc))
         self.gmap = create_map(config.mapping.map_capacity)
@@ -470,7 +485,7 @@ class OnlineReconstructor:
         move the pack + upload off the critical path; see ``process``)."""
         return pack_frame(
             frame, self._use_disparity(frame),
-            color_stride=self.cfg.mapping.frame_point_stride,
+            color_stride=_color_stride(self.cfg.mapping),
             frame_index=self.frame_idx if frame_index is None else frame_index,
         )
 

@@ -57,3 +57,35 @@ def test_stride_and_masking():
     assert cloud.points.shape == (64, 3)
     assert not bool(cloud.valid[0])  # the invalid pixel survives the stride
     assert int(jnp.sum(cloud.valid)) == 63
+
+
+def test_color_substride_serves_point_blocks():
+    """A color plane s x coarser than the point grid (MappingConfig.
+    color_stride) colors each s x s point block with its texel — geometry is
+    untouched, only the color assignment coarsens."""
+    disp = jnp.full((16, 16), 4.0)
+    q = q_matrix(100.0, 100.0, 8.0, 8.0, 0.5)
+    # color at stride 4 on a stride-2 point grid: (4, 4) plane, substride 2
+    color = jnp.arange(16, dtype=jnp.float32).reshape(4, 4)[..., None].repeat(3, -1) / 16.0
+    cloud = backproject_disparity(disp, color, q, stride=2,
+                                  min_depth=0.1, max_depth=1e4,
+                                  color_prestrided=True, color_substride=2)
+    fine = backproject_disparity(disp, jnp.repeat(jnp.repeat(color, 2, 0), 2, 1),
+                                 q, stride=2, min_depth=0.1, max_depth=1e4,
+                                 color_prestrided=True)
+    np.testing.assert_allclose(np.asarray(cloud.colors), np.asarray(fine.colors))
+    np.testing.assert_allclose(np.asarray(cloud.points), np.asarray(fine.points))
+
+
+def test_color_stride_validation():
+    import dataclasses
+
+    import pytest
+
+    from online_3d_reconstruction_tpu.config import MappingConfig
+    from online_3d_reconstruction_tpu.runtime.pipeline import _color_stride
+
+    assert _color_stride(MappingConfig(frame_point_stride=2)) == 2
+    assert _color_stride(MappingConfig(frame_point_stride=2, color_stride=4)) == 4
+    with pytest.raises(ValueError, match="color_stride"):
+        _color_stride(MappingConfig(frame_point_stride=2, color_stride=3))

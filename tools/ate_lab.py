@@ -163,6 +163,24 @@ def main():
         "w W32 L4096": dataclasses.replace(w, sigma_pixel=0.5,
                                            sigma_disparity=0.5,
                                            window=32, max_landmarks=4096),
+        # frame-rate variants: cheaper solves at the winning estimator point
+        "w W24 L4096 d1.0 gn3": dataclasses.replace(w, sigma_pixel=0.5,
+                                                    sigma_disparity=1.0,
+                                                    window=24,
+                                                    max_landmarks=4096,
+                                                    gn_iters=3),
+        "w W24 L3072 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=1.0,
+                                                window=24,
+                                                max_landmarks=3072),
+        "w W24 L2048 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=1.0,
+                                                window=24,
+                                                max_landmarks=2048),
+        "w W16 L2048 d1.0": dataclasses.replace(w, sigma_pixel=0.5,
+                                                sigma_disparity=1.0,
+                                                window=16,
+                                                max_landmarks=2048),
     }
     for name, ba in variants.items():
         cfg = base.replace(ba=ba)
