@@ -246,3 +246,63 @@ class TestPosePriors:
                                    np.asarray(sharded[0]), atol=1e-4)
         np.testing.assert_allclose(float(single[2][-1]),
                                    float(sharded[2][-1]), rtol=1e-5)
+
+
+class TestSlotMajorEquivalence:
+    """The analytic slot-major accumulation (ba/schur._accumulate_slot_major)
+    must match the generic J-based path block for block — unweighted,
+    diagonal-weighted, AND full-3x3-weighted. This gap let the r5 rewrite
+    ship untested for the weighted case (it happened to be correct; the
+    divergence it was suspected of was the frontend's raw-fallback links)."""
+
+    def _problem(self, rng, w=4, l=32, k=16):
+        from online_3d_reconstruction_tpu.ba.testing import make_synthetic_bundle
+
+        problem, _, _ = make_synthetic_bundle(rng, w=w, l=l, obs_noise=0.05,
+                                              n_cap=w * k, obs_per_kf=k)
+        return problem, k
+
+    def _assert_blocks_match(self, problem, k, **kw):
+        from online_3d_reconstruction_tpu.ba.schur import accumulate_normal_blocks
+
+        gen = accumulate_normal_blocks(problem.poses, problem.landmarks,
+                                       problem, 0.5, **kw)
+        slo = accumulate_normal_blocks(problem.poses, problem.landmarks,
+                                       problem, 0.5, slot_major=k, **kw)
+        for name, a, b in zip(("B", "C", "E", "g_p", "g_x"), gen, slo):
+            scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6 * scale,
+                err_msg=f"slot-major {name} diverges from the generic path")
+
+    def test_unweighted(self):
+        problem, k = self._problem(np.random.default_rng(0))
+        self._assert_blocks_match(problem, k)
+
+    def test_diagonal_weights(self):
+        problem, k = self._problem(np.random.default_rng(1))
+        w = jnp.abs(jnp.asarray(
+            np.random.default_rng(2).normal(1.0, 0.3,
+                                            problem.obs_point.shape)
+            .astype(np.float32))) + 0.1
+        self._assert_blocks_match(problem._replace(obs_weight=w), k)
+
+    def test_full_3x3_information(self):
+        from online_3d_reconstruction_tpu.ba.problem import (
+            StereoNoiseModel,
+            stereo_obs_information,
+        )
+
+        problem, k = self._problem(np.random.default_rng(3))
+        nm = StereoNoiseModel(fx=300.0, fy=300.0, baseline=0.5,
+                              sigma_px=0.5, sigma_disparity=1.0)
+        w = stereo_obs_information(problem.obs_point, nm)
+        self._assert_blocks_match(problem._replace(obs_weight=w), k)
+
+    def test_with_priors(self):
+        problem, k = self._problem(np.random.default_rng(4))
+        pri = problem._replace(priors=problem.poses,
+                               prior_valid=jnp.ones(problem.poses.shape[0],
+                                                    bool))
+        self._assert_blocks_match(pri, k, prior_position_weight=20.0,
+                                  prior_rotation_weight=100.0)
