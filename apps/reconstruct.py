@@ -93,7 +93,24 @@ def _parse_value(text: str):
 def _build_config(args):
     from online_3d_reconstruction_tpu.config import load_config
 
+    # The measured-optimal estimator preset (BASELINE.md round-5 summary:
+    # full-stack ATE 0.469x prior-only on the bench rig): whitened 3x3
+    # stereo information with the MEASURED noise sigmas, a W=24 window with
+    # landmark capacity scaled to the track count, 3 GN iterations (ATE-
+    # identical to 5 at 60% of the cost). Applied only when no --config
+    # file is given, and every entry yields to --set, so a rig with
+    # different sensors retunes from the CLI or a file.
     overrides = {}
+    if not args.config:
+        overrides.update({
+            "ba.obs_weighting": True,
+            "ba.sigma_pixel": 0.5,
+            "ba.sigma_disparity": 1.0,
+            "ba.huber_delta": 3.0,
+            "ba.window": 24,
+            "ba.max_landmarks": 2048,
+            "ba.gn_iters": 3,
+        })
     for item in args.set:
         key, _, val = item.partition("=")
         if not val:

@@ -122,27 +122,39 @@ class BAConfig:
     """Sliding-window local bundle adjustment (reference: sparse CPU BA;
     ours: dense-block Schur complement, distributable over keyframe shards)."""
 
-    window: int = 8                  # keyframe poses in the local window
-    max_landmarks: int = 512         # static landmark capacity per solve
-    max_obs: int = 4096              # static observation capacity per solve
-    gn_iters: int = 5                # damped Gauss-Newton iterations
+    # Window size and landmark capacity MUST scale together: a W-frame
+    # window over K keypoints holds far more than K multi-observation
+    # tracks, and a saturated capacity silently drops observations —
+    # measured to make W > 8 windows WORSE until L followed (BASELINE.md
+    # round-5 summary; the bench runs W=24/L=2048, ATE 0.469x prior-only,
+    # with the slot-major solver keeping the W=24 event under 5 ms on v5e).
+    window: int = 16                 # keyframe poses in the local window
+    max_landmarks: int = 1024        # static landmark capacity per solve
+    max_obs: int = 8192              # static observation capacity per solve
+    gn_iters: int = 3                # damped Gauss-Newton iterations (3 is
+                                     # ATE-identical to 5 on the bench scene
+                                     # at 60% of the solve cost)
     damping: float = 1e-4            # Levenberg-Marquardt lambda
     huber_delta: float = 0.5         # robust loss width, in units of the
                                      # residual norm: metres when
                                      # obs_weighting is off (default), sigmas
                                      # when on (~3 is the classical knee)
     # anisotropic stereo observation weighting (opt-in): each 3D observation
-    # gets per-component information weights 1/sigma^2 with sigma_z = z^2
-    # sigma_d / (fx b) and sigma_xy = z sigma_px / fx. Measured on the bench
-    # scene (tools/ate_lab.py): the whitened solve does NOT beat the
-    # isotropic one — track lateral errors are correlated (integer-pixel
-    # FAST/BRIEF localization bias), so upweighting them 500x overrules the
-    # GPS priors with biased constraints (ATE 0.58 vs 0.20 unweighted at
-    # sigma_px=0.5; parity only at sigma_px>=2). Kept as an option for rigs
-    # with subpixel feature localization.
+    # gets a full 3x3 information matrix from the stereo noise model
+    # (ba.problem.stereo_obs_information) with sigma_z = z^2 sigma_d /
+    # (fx b) and sigma_xy = z sigma_px / fx plus the ray x/y<->z coupling.
+    # With SUBPIXEL feature localization (features.subpixel, the default)
+    # this is the bench's winning estimator: full-stack ATE 0.469x
+    # prior-only (BASELINE.md round-5 summary). It requires honest sigmas
+    # and VO-gated track links — in the integer-pixel era the correlated
+    # quantization bias made it WORSE than isotropic, which is why it
+    # remains opt-in for the library default.
     obs_weighting: bool = False
-    sigma_disparity: float = 1.0     # 1-sigma disparity noise (px, subpixel SGM)
-    sigma_pixel: float = 2.0         # 1-sigma keypoint localization noise (px)
+    # measured noise sigmas for the subpixel feature + SGM chain
+    # (tools/sgm_cache_tpu.py: keypoint-level disparity rms 0.27 px with a
+    # frame-correlated bias sigma_d=1.0 absorbs; ba_bias: lateral ~0.2 px)
+    sigma_disparity: float = 1.0     # 1-sigma disparity noise (px)
+    sigma_pixel: float = 0.5         # 1-sigma keypoint localization noise (px)
     anchor_first: bool = True        # gauge fix: freeze the first pose in window
                                      # (ignored when both prior weights > 0 —
                                      # absolute priors then fix the gauge)
