@@ -339,12 +339,26 @@ def speckle_filter(disparity: jnp.ndarray, valid: jnp.ndarray,
 
     flags = [~conn_prev(0), ~conn_prev(1)]  # segment-start flags per axis
 
+    # The scans carry int16 with SATURATING adds: the decision below is only
+    # ``mass > max_size``, so any count that saturates far above max_size
+    # decides identically, while 16-bit lanes halve the bytes all 8
+    # log-depth scan sweeps move. Cap choice: fwd+bwd of two saturated
+    # scans is <= 2*cap = 16384 (no int16 wrap), and the composition
+    # subtracts at most one run (<= H+W), leaving a cap - (H+W) margin
+    # above any usable max_size.
+    cap = jnp.int16(8192)
+    use_i16 = max_size < 4096
+    dtype = jnp.int16 if use_i16 else jnp.int32
+
     def seg_sum(vals, flag, axis, reverse):
-        """Inclusive segmented sum-scan along one axis."""
+        """Inclusive segmented (saturating) sum-scan along one axis."""
         def combine(a, b):
             av, af = a
             bv, bf = b
-            return jnp.where(bf, bv, av + bv), af | bf
+            s = av + bv
+            if use_i16:
+                s = jnp.minimum(s, cap)
+            return jnp.where(bf, bv, s), af | bf
         out, _ = jax.lax.associative_scan(
             combine, (vals, flag), axis=axis, reverse=reverse
         )
@@ -359,11 +373,11 @@ def speckle_filter(disparity: jnp.ndarray, valid: jnp.ndarray,
         bwd = seg_sum(vals, rflag, axis, reverse=True)
         return fwd + bwd - vals
 
-    ones = valid.astype(jnp.int32)
+    ones = valid.astype(dtype)
     colrun = run_total(ones, axis=0)
     rowrun = run_total(ones, axis=1)
     mass = jnp.maximum(run_total(colrun, axis=1), run_total(rowrun, axis=0))
-    return valid & (mass > max_size)
+    return valid & (mass.astype(jnp.int32) > max_size)
 
 
 # ---------------------------------------------------------------------------

@@ -155,9 +155,10 @@ def main():
 
     nm = StereoNoiseModel(fx=400.0, fy=400.0, baseline=0.5, sigma_px=0.5,
                           sigma_disparity=1.0)
+    info = stereo_obs_information(problem.obs_point, nm)
     pw = problem._replace(
-        obs_weight=stereo_obs_information(problem.obs_point, nm),
-        priors=problem.poses, prior_valid=jnp.ones(w64, bool))
+        obs_weight=info, priors=problem.poses,
+        prior_valid=jnp.ones(w64, bool))
     sec = measure_amortized(
         lambda eps, p: solve_ba(p._replace(obs_point=p.obs_point + eps),
                                 iters=5, damping=1e-4, huber_delta=3.0,
@@ -167,6 +168,28 @@ def main():
                                 slot_major=k64),
         (jnp.float32(0.0), pw), inner=4, max_inner=32)
     report("solve_ba 5 it (3x3 info + priors, in-situ)", sec)
+
+    # decompose the in-situ overhead: weights alone vs priors alone
+    sec = measure_amortized(
+        lambda eps, p: solve_ba(p._replace(obs_point=p.obs_point + eps),
+                                iters=5, damping=1e-4, huber_delta=3.0,
+                                slot_major=k64),
+        (jnp.float32(0.0), problem._replace(obs_weight=info)),
+        inner=4, max_inner=32)
+    report("solve_ba 5 it (3x3 info only)", sec)
+
+    sec = measure_amortized(
+        lambda eps, p: solve_ba(p._replace(obs_point=p.obs_point + eps),
+                                iters=5, damping=1e-4, huber_delta=huber,
+                                anchor_first=False,
+                                prior_position_weight=44.4,
+                                prior_rotation_weight=1e4,
+                                slot_major=k64),
+        (jnp.float32(0.0),
+         problem._replace(priors=problem.poses,
+                          prior_valid=jnp.ones(w64, bool))),
+        inner=4, max_inner=32)
+    report("solve_ba 5 it (priors only)", sec)
 
 
 if __name__ == "__main__":

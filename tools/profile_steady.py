@@ -110,20 +110,12 @@ def main():
 
     pk_f = packed.astype(jnp.float32)  # perturbable copy source
 
-    sec = measure_amortized(
-        lambda eps, p: steady(eps, (p + eps).astype(jnp.uint8)),
-        (jnp.float32(0.0), pk_f), inner=8)
-    report("FUSED _steady_step (non-kf frame)", sec)
-
-    sec = measure_amortized(
-        lambda eps, p: steady_kf(eps, (p + eps).astype(jnp.uint8)),
-        (jnp.float32(0.0), pk_f), inner=8)
-    report("FUSED _steady_step_kf (keyframe frame)", sec)
-
     # pieces not covered by profile_frame_parts
+    from online_3d_reconstruction_tpu.runtime.pipeline import _color_stride
+
     sec = measure_amortized(
         lambda eps, p: unpack_frame((p + eps).astype(jnp.uint8), h, w,
-                                    mcfg.frame_point_stride,
+                                    _color_stride(mcfg),
                                     scfg.invalid_value, False),
         (jnp.float32(0.0), pk_f), inner=16)
     report("unpack_frame (u8 planes -> f32)", sec)
@@ -159,9 +151,11 @@ def main():
     ds_every = mcfg.downsample_every
     report(f"flush_staging (amortize /{ds_every} frames)", sec)
 
-    # BA pieces at the window size the product runs (W=8)
+    # BA pieces at the exact product window configuration
     state = ba_shape
     nm = engine._noise_model
+    wt = cfg.ba.window
+    lt = cfg.ba.max_landmarks
 
     def build(eps, p3d):
         st = state._replace(points3d=state.points3d + eps)
@@ -170,7 +164,7 @@ def main():
 
     sec = measure_amortized(build, (jnp.float32(0.0), state.points3d),
                             inner=8)
-    report("  ba build_problem (W=8, tracks+info)", sec)
+    report(f"  ba build_problem (W={wt}/L={lt}, tracks+info)", sec)
 
     problem, _ = build_problem(state, cfg.ba.max_landmarks, nm)
 
@@ -183,19 +177,28 @@ def main():
             prior_rotation_weight=cfg.ba.prior_rotation_weight,
             slot_major=fcfg.max_keypoints),
         (jnp.float32(0.0), problem), inner=8)
-    report("  ba solve_ba (W=8 slot-major, 5 it)", sec)
+    report(f"  ba solve_ba (W={wt} slot-major, {cfg.ba.gn_iters} it)", sec)
 
-    # relay chained-dispatch tax: time N back-to-back real dispatches of the
-    # fused program from the host (the bench's actual loop structure)
-    out = steady(0.0, packed)
-    jax.block_until_ready(out)
-    n = 20
-    t0 = time.perf_counter()
-    outs = [steady(0.0, packed) for _ in range(n)]
-    jax.block_until_ready(outs)
-    wall = (time.perf_counter() - t0) / n
-    print(f"{'host-loop wall per fused dispatch':46s} {wall * 1e3:8.3f} ms",
-          flush=True)
+    # the fused per-frame programs LAST: their inner-scan wrappers are the
+    # largest programs this repo compiles and the remote compile helper
+    # sometimes drops the connection — a failure here must not lose the
+    # component rows above. inner=4 keeps the program smaller; the fused
+    # step is ~10 ms so 4x still clears the relay noise floor.
+    for name, fn in (("FUSED _steady_step (non-kf frame)", steady),
+                     ("FUSED _steady_step_kf (keyframe frame)", steady_kf)):
+        try:
+            sec = measure_amortized(
+                lambda eps, p, fn=fn: fn(eps, (p + eps).astype(jnp.uint8)),
+                (jnp.float32(0.0), pk_f), inner=4)
+            report(name, sec)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED ({type(e).__name__}: {e})", flush=True)
+
+    # relay per-dispatch tax = bench frame period minus the fused program
+    # time above (an eager donated-dispatch loop here kept tripping a
+    # backend InvalidArgument through the relay; the subtraction from
+    # BENCH_DETAIL.json's frame_period_device_resident is the robust form)
+    _ = time  # referenced so the import is not flagged unused
 
 
 if __name__ == "__main__":
