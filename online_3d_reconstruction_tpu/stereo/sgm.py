@@ -424,7 +424,19 @@ def sgm_disparity(left: jnp.ndarray, right: jnp.ndarray, config: StereoConfig,
             disp, disp_r, config.max_disparity, config.lr_max_diff)
     valid = valid & (disp > 0.0)
     if config.speckle_window > 0:
-        valid = speckle_filter(disp, valid, config.speckle_window,
-                               config.speckle_range)
+        if config.use_pallas:
+            # one fused kernel launch; the XLA form's 8 associative scans
+            # lower to ~150 sweep kernels and run launch-bound (1.16 ms vs
+            # ~0.1 ms on v5e — BASELINE.md)
+            from online_3d_reconstruction_tpu.stereo.sgm_pallas import (
+                speckle_filter_pallas,
+            )
+
+            valid = speckle_filter_pallas(disp, valid, config.speckle_window,
+                                          config.speckle_range,
+                                          interpret=interpret_pallas)
+        else:
+            valid = speckle_filter(disp, valid, config.speckle_window,
+                                   config.speckle_range)
     disp = jnp.where(valid, disp, config.invalid_value)
     return disp, valid

@@ -329,3 +329,103 @@ def aggregate_fused(cost: jnp.ndarray, p1: float, p2: float,
         return h_sum
     return scan_multi(cost, p1, p2, diag=(num_paths == 8), init=h_sum,
                       interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Speckle filter: all 8 segmented scans fused into ONE kernel launch
+# ---------------------------------------------------------------------------
+#
+# The XLA form (sgm.speckle_filter) is the identical "run-cross mass"
+# algorithm, but its 8 ``associative_scan``s lower to ~150 log-depth sweep
+# KERNELS and run launch-latency-bound: 1.16 ms/frame at 384x512 on v5e with
+# int16 values moving the needle not at all (BASELINE.md). Here the whole
+# image lives in VMEM (384x512 f32 = 0.79 MB/buffer) and every scan is an
+# unrolled segmented Hillis-Steele — 9 full-block VPU steps per scan, ~90M
+# vector ops total, one launch. Flags and masks ride as f32 0/1 (Mosaic's
+# preferred vector dtype); run sums <= H*W stay exact in f32.
+
+
+def _shift_fill(x: jnp.ndarray, k: int, axis: int, reverse: bool,
+                fill: float) -> jnp.ndarray:
+    """x shifted k toward higher index (reverse: lower), fill at the edge."""
+    h, w = x.shape
+    if axis == 0:
+        pad = jnp.full((k, w), fill, dtype=x.dtype)
+        return (jnp.concatenate([pad, x[:-k]], axis=0) if not reverse
+                else jnp.concatenate([x[k:], pad], axis=0))
+    pad = jnp.full((h, k), fill, dtype=x.dtype)
+    return (jnp.concatenate([pad, x[:, :-k]], axis=1) if not reverse
+            else jnp.concatenate([x[:, k:], pad], axis=1))
+
+
+def _seg_scan(v: jnp.ndarray, f: jnp.ndarray, axis: int,
+              reverse: bool) -> jnp.ndarray:
+    """Inclusive segmented sum-scan (f = 0/1 segment-start flags; for
+    ``reverse`` the flags must mark segment ENDS). Unrolled Hillis-Steele:
+    shifted-in flags are 1 (hard boundary), values 0."""
+    n = v.shape[axis]
+    k = 1
+    while k < n:
+        vs = _shift_fill(v, k, axis, reverse, 0.0)
+        fs = _shift_fill(f, k, axis, reverse, 1.0)
+        v = jnp.where(f > 0.5, v, v + vs)
+        f = jnp.maximum(f, fs)
+        k *= 2
+    return v
+
+
+def _run_total(v: jnp.ndarray, start: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Sum of v over each pixel's maximal run along ``axis``: forward scan
+    from the start flags + backward scan from the end flags - self."""
+    fwd = _seg_scan(v, start, axis, reverse=False)
+    end = _shift_fill(start, 1, axis, reverse=True, fill=1.0)
+    bwd = _seg_scan(v, end, axis, reverse=True)
+    return fwd + bwd - v
+
+
+def _run_total_kernel(v_ref, start_ref, out_ref, *, axis: int):
+    out_ref[...] = _run_total(v_ref[...], start_ref[...], axis=axis)
+
+
+def _run_total_call(v, start, axis, interpret):
+    """One launch computing a full run_total: a single fused kernel holding
+    every (H, W) f32 temporary of all 8 scans at once exceeds the 16 MB
+    scoped-VMEM stack (measured 27.9 MB), so the filter runs as four of
+    these (~6 MB live each) — 4 launches instead of the ~150 sweep kernels
+    the XLA associative_scan form costs."""
+    h, w = v.shape
+    return pl.pallas_call(
+        functools.partial(_run_total_kernel, axis=axis),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        interpret=interpret,
+    )(v, start)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_size", "max_diff", "interpret"))
+def speckle_filter_pallas(disparity: jnp.ndarray, valid: jnp.ndarray,
+                          max_size: int, max_diff: float,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas form of sgm.speckle_filter (same run-cross-mass
+    semantics, asserted equivalent in tests). Returns the updated (H, W)
+    bool validity mask."""
+    if max_size <= 0:
+        return valid
+    d = disparity.astype(jnp.float32)
+    val = valid.astype(jnp.float32)
+
+    def start_flags(axis):
+        dz = _shift_fill(d, 1, axis, reverse=False, fill=0.0)
+        vz = _shift_fill(val, 1, axis, reverse=False, fill=0.0)
+        conn = val * vz * (jnp.abs(d - dz) <= max_diff).astype(jnp.float32)
+        return 1.0 - conn                      # row/col 0 starts by fill
+
+    f0 = start_flags(0)
+    f1 = start_flags(1)
+    colrun = _run_total_call(val, f0, axis=0, interpret=interpret)
+    rowrun = _run_total_call(val, f1, axis=1, interpret=interpret)
+    mass = jnp.maximum(_run_total_call(colrun, f1, axis=1,
+                                       interpret=interpret),
+                       _run_total_call(rowrun, f0, axis=0,
+                                       interpret=interpret))
+    return valid & (mass > float(max_size))

@@ -159,6 +159,25 @@ class TestSpeckle:
         assert not out[2:4, 20:22].any()  # 4-pixel blob dies
         assert out[:, 16:].sum() + 4 == (32 * 16)  # zero-region blob survives
 
+    def test_pallas_kernel_matches_xla_exactly(self):
+        """The fused one-launch Pallas speckle (sgm_pallas.
+        speckle_filter_pallas, the use_pallas=True production path) must
+        reproduce the XLA associative-scan form bit for bit — both are the
+        same run-cross-mass algorithm; only the scan fusion differs."""
+        from online_3d_reconstruction_tpu.stereo.sgm_pallas import (
+            speckle_filter_pallas,
+        )
+
+        rng = np.random.default_rng(7)
+        for h, w in ((64, 128), (96, 256)):
+            disp = np.round(rng.uniform(0, 30, (h, w)) / 6) * 6
+            disp = (disp + rng.normal(0, 0.2, (h, w))).astype(np.float32)
+            valid = rng.random((h, w)) > 0.15
+            a = speckle_filter(jnp.asarray(disp), jnp.asarray(valid), 50, 1.0)
+            b = speckle_filter_pallas(jnp.asarray(disp), jnp.asarray(valid),
+                                      50, 1.0, interpret=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_disabled(self):
         disp = jnp.zeros((8, 8))
         valid = jnp.ones((8, 8), dtype=bool)

@@ -87,3 +87,26 @@ def test_sgm_disparity_tpu_pipeline_quality():
     bad1 = (np.abs(disp[ok] - gt[ok]) > 1.0).mean()
     assert density > 0.9
     assert bad1 < 0.02
+
+
+def test_speckle_pallas_compiles_and_matches_on_chip():
+    """Mosaic-compile the fused speckle kernel on the real chip and assert
+    it matches the XLA associative-scan form exactly at the bench shape."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from online_3d_reconstruction_tpu.stereo.sgm import speckle_filter
+    from online_3d_reconstruction_tpu.stereo.sgm_pallas import (
+        speckle_filter_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 384, 512
+    disp = np.round(rng.uniform(0, 60, (h, w)) / 8) * 8
+    disp = (disp + rng.normal(0, 0.2, (h, w))).astype(np.float32)
+    valid = rng.random((h, w)) > 0.2
+    a = np.asarray(speckle_filter(jnp.asarray(disp), jnp.asarray(valid),
+                                  50, 1.0))
+    b = np.asarray(speckle_filter_pallas(jnp.asarray(disp),
+                                         jnp.asarray(valid), 50, 1.0))
+    np.testing.assert_array_equal(a, b)
