@@ -149,13 +149,37 @@ def ransac_rigid(
     samples = jax.random.randint(key, (iters, 3), 0, n)
 
     def fit_minimal(idx):
+        # Closed-form triad alignment instead of the Umeyama SVD: batched
+        # 3x3 jnp.linalg.svd lowers near-serially on TPU (the same class as
+        # the batched linalg.inv the Schur solver dropped), and a RANSAC
+        # HYPOTHESIS only needs to be exact for its own 3 support points —
+        # scoring against all matches and the SVD/IRLS refit decide the
+        # pose. Build an orthonormal frame from the two edge vectors on
+        # each side; R maps one frame onto the other.
         s = src[idx]
         d = dst[idx]
-        w = valid[idx].astype(jnp.float32)
-        # all three points must be valid, else the hypothesis scores 0 inliers
+        # all three points must be valid, else the hypothesis scores 0
+        # inliers; degenerate (collinear) triples produce garbage R and are
+        # likewise out-scored, exactly as a degenerate SVD fit was
         w_ok = jnp.all(valid[idx])
-        t_mat = rigid_transform(s, d, w + 1e-6)
-        return t_mat, w_ok
+
+        def triad(p):
+            e1 = p[1] - p[0]
+            e2 = p[2] - p[0]
+            b1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-9)
+            c = jnp.cross(e1, e2)
+            b3 = c / jnp.maximum(jnp.linalg.norm(c), 1e-9)
+            b2 = jnp.cross(b3, b1)
+            return jnp.stack([b1, b2, b3], axis=1)     # columns (3, 3)
+
+        ts = triad(s)
+        td = triad(d)
+        rot = jnp.matmul(td, ts.T, precision=jax.lax.Precision.HIGHEST)
+        cen_s = jnp.mean(s, axis=0)
+        cen_d = jnp.mean(d, axis=0)
+        t = cen_d - jnp.matmul(rot, cen_s[:, None],
+                               precision=jax.lax.Precision.HIGHEST)[:, 0]
+        return se3.from_rt(rot, t), w_ok
 
     t_hyp, hyp_ok = jax.vmap(fit_minimal)(samples)  # (iters, 4, 4), (iters,)
 
